@@ -1,0 +1,106 @@
+"""BENCH harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "candidate_pairs_scored_per_sec", "value": N, "unit": "sec"?, ...}
+
+Headline queries (the pipeline's hot path + the training-data operators):
+  q_pipeline   full ER pipeline: derived transcripts -> canonical docs ->
+               MinHash-LSH blocking -> Levenshtein+TF-IDF scoring -> exact
+               bootstrap -> connected components (the flagship)
+  q_score      blocking + scoring only (the throughput metric's numerator)
+  q_dedup      MinHash near-dup detection over documents
+  q_topk       brute-force cosine top-k over embeddings
+  q_textstats  language-id + quality + token counts + fingerprints
+
+The headline metric is candidate-pairs-scored/sec from q_score, per the north
+rule. Scaling evidence between two parallelism levels is produced by
+tools/scaling_bench.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from entityresolution_capstone_spark.plans import driver_queries as DQ
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        counts[name] = n
+        return n
+
+    # q_score: blocking + pair scoring (lev + tfidf), counting scored pairs
+    def score_only():
+        _, docs, dft, tdict, blocks = DQ._er_blocks(spark, sf_dir)
+        docs = docs.persist()
+        pairs = DQ.B.candidate_pairs(blocks, DQ.ER_BLOCKING)
+        n = docs.count()
+        scored = DQ.score_pairs(
+            pairs,
+            docs,
+            DQ.ScoringConfig(weights=dict(DQ.ER_WEIGHTS), prefix_len=DQ.PREFIX),
+            df_table=dft,
+            corpus_size=n,
+        )
+        out = scored.count()
+        docs.unpersist()
+        return out
+
+    timed("q_score", score_only)
+    timed("q_pipeline", lambda: DQ.q_er_clusters(spark, sf_dir).count())
+    timed("q_dedup", lambda: DQ.q_dedup_minhash(spark, sf_dir).count())
+    timed("q_topk", lambda: DQ.q_sim_topk(spark, sf_dir).count())
+
+    def textstats():
+        a = DQ.q_lang_id(spark, sf_dir).count()
+        b = DQ.q_quality(spark, sf_dir).count()
+        c = DQ.q_token_count(spark, sf_dir).count()
+        d = DQ.q_fingerprint(spark, sf_dir).count()
+        return a + b + c + d
+
+    timed("q_textstats", textstats)
+
+    pairs_per_sec = counts["q_score"] / timings["q_score"] if timings["q_score"] else 0.0
+    return {
+        "metric": "candidate_pairs_scored_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/sec",
+        "queries": timings,
+        "rows": counts,
+        "sf": sf_dir,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from entityresolution_capstone_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ercs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    result = run(spark, sf_dir)
+    result["cpus"] = int(cpus)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Clustering evaluation: distributed pairwise P/R/F1 + driver-side AMI/V-measure.
+
+Pairwise metrics use exactly the contingency algebra of the reference
+(/root/reference/src/entity_resolver/core/utils.py:655-696):
+``TP = Σ_ij C(n_ij, 2)``, ``FP = Σ_j C(pred_j, 2) − TP``,
+``FN = Σ_i C(label_i, 2) − TP`` — all three are plain groupBy aggregations, so
+the metric distributes to any scale.
+
+AMI and V-measure (reference utils.py:698-767 via sklearn) are re-implemented
+from the published formulas on the *contingency counts* (clusters ≪ rows, so
+collecting the contingency table to the driver is safe at any input scale).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PairwiseScores:
+    precision: float
+    recall: float
+    f1: float
+    tp: float
+    fp: float
+    fn: float
+
+
+def _comb2(col):
+    return F.sum(col * (col - 1) / 2.0)
+
+
+def pairwise_precision_recall(
+    labels: DataFrame,
+    preds: DataFrame,
+    id_col: str = "conv_id",
+    label_col: str = "entity_id",
+    pred_col: str = "cluster_id",
+) -> PairwiseScores:
+    """Pairwise precision / recall / F1 between two clusterings.
+
+    Rows are aligned by an inner join on ``id_col`` (the reference aligns
+    positionally after sorting, evaluator.py:73-98 — join is the same pairing,
+    robust to partitioning).
+    """
+    j = labels.select(id_col, label_col).join(preds.select(id_col, pred_col), id_col)
+    cont = j.groupBy(label_col, pred_col).agg(F.count("*").alias("n"))
+    tp = cont.agg(_comb2(F.col("n")).alias("v")).collect()[0]["v"] or 0.0
+    pred_pairs = (
+        j.groupBy(pred_col).agg(F.count("*").alias("n"))
+        .agg(_comb2(F.col("n")).alias("v")).collect()[0]["v"] or 0.0
+    )
+    label_pairs = (
+        j.groupBy(label_col).agg(F.count("*").alias("n"))
+        .agg(_comb2(F.col("n")).alias("v")).collect()[0]["v"] or 0.0
+    )
+    fp = pred_pairs - tp
+    fn = label_pairs - tp
+    precision = tp / pred_pairs if pred_pairs else 0.0
+    recall = tp / label_pairs if label_pairs else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall) > 0
+        else 0.0
+    )
+    return PairwiseScores(precision, recall, f1, tp, fp, fn)
+
+
+def pairwise_f1_on_pairs(
+    scored_pairs: DataFrame,
+    labels: DataFrame,
+    candidate_pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> PairwiseScores:
+    """Pair-level P/R/F1 restricted to the candidate-pair universe.
+
+    This is the north-rule gate: "pairwise F1 vs reference clusters on labeled
+    pairs (same blocking key)". ``scored_pairs`` = predicted-match pairs;
+    ``candidate_pairs`` = the universe; labels define true matches.
+    """
+    l1 = labels.select(F.col("conv_id").alias(id1), F.col("entity_id").alias("_e1"))
+    l2 = labels.select(F.col("conv_id").alias(id2), F.col("entity_id").alias("_e2"))
+    univ = (
+        candidate_pairs.join(l1, id1)
+        .join(l2, id2)
+        .select(id1, id2, (F.col("_e1") == F.col("_e2")).alias("is_match"))
+    )
+    pred = scored_pairs.select(id1, id2).withColumn("_pred", F.lit(True))
+    u = univ.join(pred, [id1, id2], "left").select(
+        "is_match", F.coalesce("_pred", F.lit(False)).alias("pred")
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_match") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = float(agg["tp"]), float(agg["fp"]), float(agg["fn"])
+    precision = tp / (tp + fp) if (tp + fp) else 1.0
+    recall = tp / (tp + fn) if (tp + fn) else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    return PairwiseScores(precision, recall, f1, tp, fp, fn)
+
+
+# ---------------------------------------------------------------------------
+# Driver-side information-theoretic metrics from the contingency table
+# ---------------------------------------------------------------------------
+
+def _contingency(labels: DataFrame, preds: DataFrame, id_col, label_col, pred_col):
+    j = labels.select(id_col, label_col).join(preds.select(id_col, pred_col), id_col)
+    rows = j.groupBy(label_col, pred_col).agg(F.count("*").alias("n")).collect()
+    la = sorted({r[label_col] for r in rows})
+    pr = sorted({r[pred_col] for r in rows})
+    li = {v: i for i, v in enumerate(la)}
+    pi = {v: i for i, v in enumerate(pr)}
+    m = np.zeros((len(la), len(pr)), dtype=np.int64)
+    for r in rows:
+        m[li[r[label_col]], pi[r[pred_col]]] = r["n"]
+    return m
+
+
+def _entropy(counts: np.ndarray) -> float:
+    n = counts.sum()
+    p = counts[counts > 0] / n
+    return float(-(p * np.log(p)).sum())
+
+
+def _mutual_info(m: np.ndarray) -> float:
+    n = m.sum()
+    a = m.sum(axis=1)
+    b = m.sum(axis=0)
+    mi = 0.0
+    for i in range(m.shape[0]):
+        for j in range(m.shape[1]):
+            nij = m[i, j]
+            if nij == 0:
+                continue
+            mi += (nij / n) * math.log(n * nij / (a[i] * b[j]))
+    return mi
+
+
+def _expected_mutual_info(m: np.ndarray) -> float:
+    """EMI under the hypergeometric model (Vinh, Epps & Bailey 2010)."""
+    n = int(m.sum())
+    a = m.sum(axis=1).astype(int)
+    b = m.sum(axis=0).astype(int)
+    lg = math.lgamma
+    emi = 0.0
+    for ai in a:
+        for bj in b:
+            lo = max(1, ai + bj - n)
+            hi = min(ai, bj)
+            for nij in range(lo, hi + 1):
+                t1 = (nij / n) * math.log(n * nij / (ai * bj))
+                t2 = math.exp(
+                    lg(ai + 1) + lg(bj + 1) + lg(n - ai + 1) + lg(n - bj + 1)
+                    - lg(n + 1) - lg(nij + 1) - lg(ai - nij + 1)
+                    - lg(bj - nij + 1) - lg(n - ai - bj + nij + 1)
+                )
+                emi += t1 * t2
+    return emi
+
+
+def ami_score(
+    labels: DataFrame,
+    preds: DataFrame,
+    id_col: str = "conv_id",
+    label_col: str = "entity_id",
+    pred_col: str = "cluster_id",
+    average_method: str = "max",
+) -> float:
+    """Adjusted Mutual Information (reference default average_method='max')."""
+    m = _contingency(labels, preds, id_col, label_col, pred_col)
+    mi = _mutual_info(m)
+    emi = _expected_mutual_info(m)
+    h1 = _entropy(m.sum(axis=1))
+    h2 = _entropy(m.sum(axis=0))
+    if average_method == "max":
+        norm = max(h1, h2)
+    elif average_method == "min":
+        norm = min(h1, h2)
+    elif average_method == "geometric":
+        norm = math.sqrt(h1 * h2)
+    else:
+        norm = (h1 + h2) / 2.0
+    denom = norm - emi
+    if denom == 0:
+        return 1.0
+    return (mi - emi) / denom
+
+
+def v_measure_score(
+    labels: DataFrame,
+    preds: DataFrame,
+    id_col: str = "conv_id",
+    label_col: str = "entity_id",
+    pred_col: str = "cluster_id",
+    beta: float = 1.0,
+) -> float:
+    """V-measure (Rosenberg & Hirschberg 2007): harmonic mean of homogeneity
+    and completeness computed from conditional entropies."""
+    m = _contingency(labels, preds, id_col, label_col, pred_col)
+    h_label = _entropy(m.sum(axis=1))
+    h_pred = _entropy(m.sum(axis=0))
+    mi = _mutual_info(m)
+    h_label_given_pred = h_label - mi
+    h_pred_given_label = h_pred - mi
+    homogeneity = 1.0 if h_label == 0 else max(0.0, 1.0 - h_label_given_pred / h_label)
+    completeness = 1.0 if h_pred == 0 else max(0.0, 1.0 - h_pred_given_label / h_pred)
+    if homogeneity + completeness == 0:
+        return 0.0
+    return (
+        (1 + beta) * homogeneity * completeness
+        / (beta * homogeneity + completeness)
+    )

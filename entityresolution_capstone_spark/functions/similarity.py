@@ -1,0 +1,216 @@
+"""Batched string-similarity kernels (NumPy, Arrow-transported).
+
+Behavioral parity with the kernels the reference obtains from
+``py_stringmatching`` (selected in ``/root/reference/src/entity_resolver/core/
+utils.py:329-454``), re-implemented from the published algorithm definitions:
+
+- Jaro: matches within window ``max(|s1|,|s2|)//2 - 1``, greedy left-to-right;
+  ``(m/|s1| + m/|s2| + (m-t)/m) / 3``.
+- Jaro-Winkler: ``jaro + l * p * (1 - jaro)`` with shared-prefix length
+  ``l <= 4``; the prefix boost is applied UNCONDITIONALLY (no 0.7 boost
+  threshold) — this matches the reference's numerics (verified against the
+  golden scores in /root/reference/tests/test_core.py:161-166).
+- Scaled Levenshtein: ``1 - dist / max(|s1|,|s2|)``.
+
+All kernels are *batch* functions ``(ndarray[str], ndarray[str]) -> ndarray
+[float64]``: the per-character loops run over the (bounded) max string length,
+vectorized with NumPy across the whole Arrow batch — no per-row Python in the
+hot path. Strings are truncated to ``max_len`` (default 64) before comparison;
+callers must apply the same truncation in any SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_MAX_LEN = 64
+JW_PREFIX_WEIGHT = 0.1  # reference default, main.py:276-279
+
+
+def _encode_batch(strings: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Encode an object array of strings to (N, max_len) int32 codepoints + lengths."""
+    n = len(strings)
+    out = np.zeros((n, max_len), dtype=np.int32)
+    lens = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(strings):  # encode only; O(total chars), no kernel math here
+        if s is None:
+            continue
+        s = s[:max_len]
+        lens[i] = len(s)
+        if s:
+            out[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[
+                : len(s)
+            ].astype(np.int32)
+    return out, lens
+
+
+def jaro_batch(
+    s1: np.ndarray, s2: np.ndarray, max_len: int = DEFAULT_MAX_LEN
+) -> np.ndarray:
+    """Vectorized Jaro similarity over a batch of string pairs."""
+    a, la = _encode_batch(s1, max_len)
+    b, lb = _encode_batch(s2, max_len)
+    n = len(s1)
+    lmax = int(max(la.max(initial=0), lb.max(initial=0)))
+    if lmax == 0:
+        # py_stringmatching returns 1.0 for two empty strings, 0 otherwise
+        return np.where((la == 0) & (lb == 0), 1.0, 0.0)
+    a, b = a[:, :lmax], b[:, :lmax]
+
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    matched_a = np.zeros((n, lmax), dtype=bool)
+    matched_b = np.zeros((n, lmax), dtype=bool)
+    cols = np.arange(lmax)[None, :]  # (1, L)
+
+    # Greedy left-to-right matching: loop over source positions (bounded by
+    # max_len), vectorized across the batch and target positions.
+    for i in range(lmax):
+        active = (i < la)[:, None]  # (N,1)
+        lo = (i - window)[:, None]
+        hi = (i + window)[:, None]
+        cand = (
+            active
+            & (cols >= lo)
+            & (cols <= hi)
+            & (cols < lb[:, None])
+            & ~matched_b
+            & (b == a[:, i][:, None])
+        )
+        has = cand.any(axis=1)
+        first = cand.argmax(axis=1)
+        matched_b[has, first[has]] = True
+        matched_a[has, i] = True
+
+    m = matched_a.sum(axis=1).astype(np.float64)
+
+    # Transpositions: compare matched chars of a (in i-order) with matched
+    # chars of b (in j-order), compacted left via a stable sort on ~matched.
+    order_a = np.argsort(~matched_a, axis=1, kind="stable")
+    order_b = np.argsort(~matched_b, axis=1, kind="stable")
+    ca = np.take_along_axis(a, order_a, axis=1)
+    cb = np.take_along_axis(b, order_b, axis=1)
+    valid = cols < m[:, None]
+    t = ((ca != cb) & valid).sum(axis=1) / 2.0
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = (m / la + m / lb + (m - t) / m) / 3.0
+    sim = np.where(m == 0, 0.0, sim)
+    sim = np.where((la == 0) & (lb == 0), 1.0, sim)
+    return sim
+
+
+def jaro_winkler_batch(
+    s1: np.ndarray,
+    s2: np.ndarray,
+    prefix_weight: float = JW_PREFIX_WEIGHT,
+    max_len: int = DEFAULT_MAX_LEN,
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler (unconditional prefix boost, l<=4)."""
+    jaro = jaro_batch(s1, s2, max_len=max_len)
+    a, la = _encode_batch(s1, max_len)
+    b, lb = _encode_batch(s2, max_len)
+    upto = min(4, a.shape[1], b.shape[1])
+    if upto == 0:
+        return jaro
+    both = np.minimum(np.minimum(la, lb), upto)
+    eq = a[:, :upto] == b[:, :upto]
+    # prefix length = index of first mismatch within `both`
+    mism = ~eq | (np.arange(upto)[None, :] >= both[:, None])
+    l = np.where(mism.any(axis=1), mism.argmax(axis=1), both)
+    return jaro + l * prefix_weight * (1.0 - jaro)
+
+
+def levenshtein_batch(
+    s1: np.ndarray, s2: np.ndarray, max_len: int = DEFAULT_MAX_LEN
+) -> np.ndarray:
+    """Vectorized Levenshtein distance (DP over positions, batch-vectorized)."""
+    a, la = _encode_batch(s1, max_len)
+    b, lb = _encode_batch(s2, max_len)
+    n = len(s1)
+    l1 = int(la.max(initial=0))
+    l2 = int(lb.max(initial=0))
+    # dp rows over s2, iterate chars of s1; vectorized across batch
+    prev = np.tile(np.arange(l2 + 1, dtype=np.int64), (n, 1))
+    # cells beyond each string's own length are clamped at the end
+    for i in range(1, l1 + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = a[:, i - 1][:, None]
+        sub_cost = (b[:, :l2] != ai).astype(np.int64)
+        # left-to-right dependency: loop over j but vectorize batch
+        diag = prev[:, :-1] + sub_cost
+        up = prev[:, 1:] + 1
+        best_wo_left = np.minimum(diag, up)
+        for j in range(1, l2 + 1):
+            cur[:, j] = np.minimum(best_wo_left[:, j - 1], cur[:, j - 1] + 1)
+        active = (i <= la)[:, None]
+        prev = np.where(active, cur, prev)
+    dist = prev[np.arange(n), lb]
+    return dist.astype(np.float64)
+
+
+def scaled_levenshtein_batch(
+    s1: np.ndarray, s2: np.ndarray, max_len: int = DEFAULT_MAX_LEN
+) -> np.ndarray:
+    """1 - dist/max(len); 1.0 for two empty strings (py_stringmatching semantics)."""
+    a_len = np.array([min(len(x or ""), max_len) for x in s1], dtype=np.float64)
+    b_len = np.array([min(len(x or ""), max_len) for x in s2], dtype=np.float64)
+    dist = levenshtein_batch(s1, s2, max_len=max_len)
+    mx = np.maximum(a_len, b_len)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = 1.0 - dist / mx
+    return np.where(mx == 0, 1.0, sim)
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF wrappers (Arrow-batched; the Column-level API the operators use)
+# ---------------------------------------------------------------------------
+
+def make_pair_sim_udf(kind: str = "jaro_winkler", max_len: int = DEFAULT_MAX_LEN):
+    """Return a pandas UDF Column fn (col1, col2) -> double for the given kernel."""
+    kernels = {
+        "jaro": lambda x, y: jaro_batch(x, y, max_len=max_len),
+        "jaro_winkler": lambda x, y: jaro_winkler_batch(x, y, max_len=max_len),
+        "scaled_lev": lambda x, y: scaled_levenshtein_batch(x, y, max_len=max_len),
+    }
+    kernel = kernels[kind]
+
+    @pandas_udf("double")
+    def sim_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        x = s1.to_numpy(dtype=object)
+        y = s2.to_numpy(dtype=object)
+        null = pd.isna(s1) | pd.isna(s2)
+        x = np.where(pd.isna(s1), "", x)
+        y = np.where(pd.isna(s2), "", y)
+        out = kernel(x, y)
+        res = pd.Series(out)
+        res[null.to_numpy()] = None
+        return res
+
+    return sim_udf
+
+
+def scaled_levenshtein_col(c1: Column, c2: Column, max_len: int = DEFAULT_MAX_LEN) -> Column:
+    """JVM-side scaled Levenshtein on truncated strings (no Python at all).
+
+    Uses Spark's built-in ``levenshtein``; preferred over the pandas kernel in
+    the hot path. Two empty strings -> 1.0.
+    """
+    a = F.substring(c1, 1, max_len)
+    b = F.substring(c2, 1, max_len)
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(a, b) / mx.cast("double")
+    )
+
+
+def token_jaccard_col(t1: Column, t2: Column) -> Column:
+    """Set Jaccard over two token arrays, JVM-side (array_intersect/union)."""
+    t1d, t2d = F.array_distinct(t1), F.array_distinct(t2)
+    inter = F.size(F.array_intersect(t1d, t2d)).cast("double")
+    union = F.size(F.array_union(t1d, t2d)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)

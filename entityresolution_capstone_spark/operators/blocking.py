@@ -1,0 +1,190 @@
+"""Stage 2 — blocking: candidate-pair generation via equality blocking keys.
+
+Replaces (not ports) the reference's sequential, order-dependent canopy
+blocking (/root/reference/src/entity_resolver/core/resolver.py:347-376): at
+10^12-turn scale an O(n·buckets) driver loop is impossible, and the reference's
+bucket-representative comparison is order-dependent anyway. The distributed
+equivalent is *equality blocking keys* + a self-join per key:
+
+- token keys: each (sufficiently rare) token of the canonical doc;
+- MinHash-LSH band keys: a seeded linear hash family over a token dictionary,
+  min-aggregated per hash, banded (r rows/band) so two docs collide on a band
+  key with probability ``1 - (1 - j^r)^b`` for Jaccard similarity j.
+
+Skew handling is explicit (north rule): block sizes are computed first; blocks
+larger than ``max_block_size`` are dropped and *reported* (dropped-block
+metrics), since a hot token (stopword-like) generates O(s²) candidate pairs for
+no precision gain. The self-join runs on the block key after an explicit
+``repartition`` on the key; AQE skew-join splitting handles residual imbalance.
+
+The MinHash implementation is deliberately dictionary-based (token -> dense id
+via the document-frequency table, then ``(a_i * id + b_i) mod P``): the DF
+table is needed for TF-IDF anyway, the hash family is exactly reproducible in
+ANSI SQL (for the DuckDB correctness oracle), and everything stays JVM-side
+(explode + min aggregations, no UDF).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+
+@dataclass
+class BlockingConfig:
+    use_token_keys: bool = True
+    min_token_len: int = 3        # skip ultra-short tokens as keys
+    max_token_df: int = 100       # tokens appearing in more docs are not keys
+    use_minhash: bool = True
+    minhash_rows: int = 2         # r: hashes per band
+    minhash_bands: int = 8        # b: number of bands
+    seed: int = 7
+    max_block_size: int = 200     # drop larger blocks (reported)
+
+
+def _hash_params(n: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the linear hash family (seeded LCG)."""
+    params = []
+    state = seed * 2654435761 % MERSENNE_P
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) % MERSENNE_P
+        a = state % (MERSENNE_P - 1) + 1
+        state = (state * 1103515245 + 12345) % MERSENNE_P
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def token_dictionary(df_table: DataFrame) -> DataFrame:
+    """(token, token_id, df) with dense ids ordered by (df, token).
+
+    Deterministic and reproducible in SQL (``row_number() over (order by df,
+    token)``). One global sort over the vocabulary — the vocabulary is orders
+    of magnitude smaller than the corpus, and the result is broadcast.
+    """
+    w = Window.orderBy("df", "token")
+    return df_table.select(
+        "token", "df", F.row_number().over(w).cast("long").alias("token_id")
+    )
+
+
+def token_block_keys(
+    docs: DataFrame, token_dict: DataFrame, cfg: BlockingConfig
+) -> DataFrame:
+    """(conv_id, block_key) from rare-enough tokens."""
+    toks = docs.select(
+        "conv_id", F.explode(F.array_distinct("tokens")).alias("token")
+    )
+    eligible = token_dict.filter(
+        (F.length("token") >= cfg.min_token_len) & (F.col("df") <= cfg.max_token_df)
+    )
+    return toks.join(F.broadcast(eligible), "token").select(
+        "conv_id", F.concat(F.lit("tok:"), F.col("token")).alias("block_key")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, token_dict: DataFrame, cfg: BlockingConfig
+) -> DataFrame:
+    """(conv_id, band, band_sig): LSH band keys from min-hashed token ids.
+
+    Plan: explode distinct tokens -> broadcast-join the dictionary -> for each
+    of b*r hash functions take min((a*id + b) % P) per doc -> concat per band.
+    The per-hash min is one groupBy(conv_id) aggregation (map-side combinable).
+    """
+    n_hashes = cfg.minhash_rows * cfg.minhash_bands
+    params = _hash_params(n_hashes, cfg.seed)
+    toks = docs.select(
+        "conv_id", F.explode(F.array_distinct("tokens")).alias("token")
+    ).join(F.broadcast(token_dict.select("token", "token_id")), "token")
+    mins = [
+        F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = toks.groupBy("conv_id").agg(*mins)
+    bands = []
+    for band in range(cfg.minhash_bands):
+        cols = [
+            F.col(f"h{band * cfg.minhash_rows + r}").cast("string")
+            for r in range(cfg.minhash_rows)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws("_", *cols).alias("sig"),
+            )
+        )
+    return sig.select(
+        "conv_id", F.explode(F.array(*bands)).alias("bs")
+    ).select(
+        "conv_id",
+        F.concat(
+            F.lit("mh:"), F.col("bs.band").cast("string"), F.lit(":"), F.col("bs.sig")
+        ).alias("block_key"),
+    )
+
+
+def build_blocks(
+    docs: DataFrame, token_dict: DataFrame, cfg: BlockingConfig | None = None
+) -> DataFrame:
+    """All blocking keys for every doc: (conv_id, block_key)."""
+    cfg = cfg or BlockingConfig()
+    parts = []
+    if cfg.use_token_keys:
+        parts.append(token_block_keys(docs, token_dict, cfg))
+    if cfg.use_minhash:
+        parts.append(minhash_signatures(docs, token_dict, cfg))
+    if not parts:
+        raise ValueError("blocking config enables no key source")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def block_size_metrics(blocks: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    """Per-block sizes + drop flag — the dropped-pair accounting the north rule
+    requires ("hot blocks handled explicitly", reported not silent)."""
+    return blocks.groupBy("block_key").agg(F.count("*").alias("size")).select(
+        "block_key",
+        "size",
+        (F.col("size") > cfg.max_block_size).alias("dropped"),
+        (F.col("size") * (F.col("size") - 1) / 2).cast("long").alias("pairs_if_kept"),
+    )
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    cfg: BlockingConfig | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Self-join blocks on block_key -> distinct unordered pairs (id1 < id2).
+
+    Hot blocks beyond ``max_block_size`` are excluded before the join (their
+    accounting lives in :func:`block_size_metrics`). The join input is
+    explicitly repartitioned on the key so the shuffle lands once; pair dedup
+    across keys is a distinct on (id1, id2).
+    """
+    cfg = cfg or BlockingConfig()
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_sz"))
+    kept = blocks.join(
+        F.broadcast(sizes.filter(F.col("_sz") > cfg.max_block_size)),
+        "block_key",
+        "left_anti",
+    )
+    if shuffle_partitions:
+        kept = kept.repartition(shuffle_partitions, "block_key")
+    a = kept.select(F.col("block_key"), F.col("conv_id").alias("id1"))
+    b = kept.select(F.col("block_key"), F.col("conv_id").alias("id2"))
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )

@@ -1,0 +1,124 @@
+"""Stage 5 — transitive clustering: large-star / small-star connected components.
+
+Replaces the reference's driver-side agglomerative loop + indexed heap
+(/root/reference/src/entity_resolver/core/resolver.py:506-555, utils.py:923-1085)
+with the map-reduce connected-components algorithm of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC'14) — the algorithm the
+north rule names. With the reference's default α=0 (attribute-only scoring,
+resolver.py:236) thresholded-pairs + transitive closure is semantically
+equivalent to max-linkage agglomerative merging with a similarity threshold:
+max-linkage merges exactly the transitive closure of node pairs ≥ θ.
+
+Each round:
+  large-star: for every node u, connect its strictly-larger neighbors to
+              m(u) = min(Γ(u) ∪ {u})
+  small-star: for every node u, connect its smaller-or-equal neighbors and
+              itself to m⁻(u) = min over {v ∈ Γ(u): v <= u} ∪ {u}
+
+Converges in O(log n) rounds; every round is two self-contained
+groupBy/join stages. The frontier DataFrame is **checkpointed** each round
+(north rule: checkpointed frontier DataFrames) — truncating lineage is what
+keeps round k from re-running rounds 0..k-1.
+
+Labels are ``min(conv_id)`` per component -> deterministic output
+(FIXTURES.md invariant: two runs, identical assignments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetrize an undirected edge list to directed (u, v) both ways."""
+    return edges.select(F.col("id1").alias("u"), F.col("id2").alias("v")).unionByName(
+        edges.select(F.col("id2").alias("u"), F.col("id1").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) directed both ways -> edges (v, m(u)) for v > u."""
+    nbrs = edges  # symmetric
+    m = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("id1"), F.col("m").alias("id2"))
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """directed (u,v) with v <= u -> edges (v, m(u)) plus (u, m(u))."""
+    smaller = edges.filter(F.col("v") < F.col("u"))
+    m = smaller.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        smaller.join(m, "u")
+        .select(F.col("v").alias("id1"), F.col("m").alias("id2"))
+        .unionByName(m.select(F.col("u").alias("id1"), F.col("m").alias("id2")))
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Edge list (id1, id2) -> component assignment (conv_id, cluster_id).
+
+    ``cluster_id`` = min node id of the component. Only nodes that appear in
+    an edge are returned; callers union in singletons (see
+    :func:`assign_clusters`).
+
+    Every round materializes + truncates lineage (reliable ``checkpoint`` when
+    requested, else eager ``localCheckpoint``): without truncation round k
+    re-plans rounds 0..k-1 as one exponentially nested join tree.
+    """
+    cur = (
+        edges.select("id1", "id2")
+        .filter(F.col("id1") != F.col("id2"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        cur = _small_star(_sym(_large_star(_sym(cur))))
+        if checkpoint:
+            cur = cur.checkpoint(eager=True)  # truncate lineage per round
+        else:
+            cur = cur.localCheckpoint(eager=True)
+        sig_row = cur.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("id1", "id2")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every edge is (node, root)
+    return cur.select(F.col("id1").alias("conv_id"), F.col("id2").alias("cluster_id"))
+
+
+def assign_clusters(all_ids: DataFrame, components: DataFrame) -> DataFrame:
+    """Final cluster table over every doc: component root, else own id.
+
+    Equivalent to the reference's ``{node -> representative}`` output
+    (resolver.py:339-345) with min-id representatives, ordered by conv_id.
+    """
+    return (
+        all_ids.select("conv_id")
+        .join(components, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"),
+        )
+        .orderBy("conv_id")
+    )

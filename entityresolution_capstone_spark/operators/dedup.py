@@ -1,0 +1,340 @@
+"""Large-scale training-data deduplication operators over ``documents``-shaped
+tables (doc_id, text, ...).
+
+Five flavors, all Spark-first (explode + groupBy + self-join algebra; the only
+Python is the Arrow-batched cosine kernel for embeddings):
+
+- exact:            hash-groupBy on the full text
+- MinHash + LSH:    shingle -> seeded linear hash family over a token
+                    dictionary -> per-band min signature -> band-bucket
+                    self-join -> verify with exact shingle Jaccard
+- SimHash:          per-token deterministic bit vector, tf-weighted majority
+                    sign -> banded fingerprint -> Hamming-verified pairs
+- n-gram Jaccard:   token n-gram blocking + exact Jaccard verification
+- embedding cosine: LSH-bucketed (or brute-force) cosine near-dup pairs
+
+Every hash is dictionary-based and arithmetic (``(a*id + b) mod P``), so the
+DuckDB correctness oracle can reproduce results bit-for-bit in ANSI SQL — no
+engine-specific hash functions anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_ngrams, tokenize
+
+MERSENNE_P = 2147483647
+
+
+def _hash_params(n: int, seed: int) -> list[tuple[int, int]]:
+    """Seeded LCG-derived (a,b) pairs — identical to blocking._hash_params."""
+    params = []
+    state = seed * 2654435761 % MERSENNE_P
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) % MERSENNE_P
+        a = state % (MERSENNE_P - 1) + 1
+        state = (state * 1103515245 + 12345) % MERSENNE_P
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def prepare_docs(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalize a documents table: (doc_id, text, tokens)."""
+    return documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        tokenize(F.col(text_col)).alias("tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, keep_id, group_size): docs whose *text* is byte-identical.
+
+    keep_id = min doc_id of the group (the canonical survivor). Only docs in
+    groups of size >= 2 are returned.
+    """
+    groups = docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("group_size")
+    )
+    return (
+        docs.join(groups.filter(F.col("group_size") > 1), "text")
+        .select("doc_id", "keep_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared: token dictionary over the dedup corpus
+# ---------------------------------------------------------------------------
+
+def dedup_token_dict(docs: DataFrame) -> DataFrame:
+    """(token, token_id) dense ids ordered by (df, token) — SQL-reproducible."""
+    dft = (
+        docs.select("doc_id", F.explode(F.array_distinct("tokens")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.orderBy("df", "token")
+    return dft.select("token", F.row_number().over(w).cast("long").alias("token_id"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MinHashConfig:
+    rows: int = 2
+    bands: int = 8
+    seed: int = 7
+    jaccard_threshold: float = 0.7
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, token_dict: DataFrame, cfg: MinHashConfig
+) -> DataFrame:
+    """Band-bucket collisions -> distinct (id1, id2) with id1 < id2."""
+    n_hashes = cfg.rows * cfg.bands
+    params = _hash_params(n_hashes, cfg.seed)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("token")
+    ).join(F.broadcast(token_dict), "token")
+    mins = [
+        F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = toks.groupBy("doc_id").agg(*mins)
+    bands = [
+        F.concat_ws(
+            "_",
+            F.lit(str(band)),
+            *[F.col(f"h{band * cfg.rows + r}").cast("string") for r in range(cfg.rows)],
+        ).alias("bkey")
+        for band in range(cfg.bands)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*bands)).alias("bkey"))
+    a = buckets.select("bkey", F.col("doc_id").alias("id1"))
+    b = buckets.select("bkey", F.col("doc_id").alias("id2"))
+    return (
+        a.join(b, "bkey").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    )
+
+
+def token_jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, threshold: float, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Exact distinct-token Jaccard for candidate pairs; keep >= threshold.
+
+    Computed via explode + groupBy (not array_intersect on joined rows) so the
+    token lists never ride through the pair join — at scale the pair table
+    carries only ids.
+    """
+    t = docs.select("doc_id", F.explode(F.array_distinct(tokens_col)).alias("token"))
+    t1 = t.select(F.col("doc_id").alias("id1"), "token")
+    t2 = t.select(F.col("doc_id").alias("id2"), "token")
+    inter = (
+        pairs.join(t1, "id1")
+        .join(t2, ["id2", "token"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = docs.select("doc_id", F.size(F.array_distinct(tokens_col)).alias("n"))
+    return (
+        pairs.join(inter, ["id1", "id2"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("n1") + F.col("n2") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_duplicates(documents: DataFrame, cfg: MinHashConfig | None = None) -> DataFrame:
+    """documents -> verified near-dup pairs (id1, id2, jaccard)."""
+    cfg = cfg or MinHashConfig()
+    docs = prepare_docs(documents)
+    tdict = dedup_token_dict(docs)
+    cand = minhash_candidate_pairs(docs, tdict, cfg)
+    return token_jaccard_verify(cand, docs, cfg.jaccard_threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SimHashConfig:
+    bits: int = 32
+    bands: int = 4
+    seed: int = 13
+    max_hamming: int = 3
+
+
+def simhash_fingerprints(
+    docs: DataFrame, token_dict: DataFrame, cfg: SimHashConfig
+) -> DataFrame:
+    """(doc_id, bit0..bitN-1 as array<int>, fp string) tf-weighted SimHash.
+
+    bit_k(token) = ((a_k * token_id + b_k) mod P) mod 2; doc bit k = 1 iff
+    Σ_tokens tf * (2·bit_k − 1) > 0. Pure aggregation algebra.
+    """
+    params = _hash_params(cfg.bits, cfg.seed)
+    tf = (
+        docs.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(token_dict), "token")
+    )
+    sums = [
+        F.sum(
+            F.col("tf")
+            * (
+                ((F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(MERSENNE_P)) % 2 * 2
+                - 1
+            )
+        ).alias(f"s{k}")
+        for k, (a, b) in enumerate(params)
+    ]
+    agg = tf.groupBy("doc_id").agg(*sums)
+    bits = F.array(
+        *[F.when(F.col(f"s{k}") > 0, 1).otherwise(0) for k in range(cfg.bits)]
+    )
+    return agg.select("doc_id", bits.alias("bits"))
+
+
+def simhash_duplicates(documents: DataFrame, cfg: SimHashConfig | None = None) -> DataFrame:
+    """Banded SimHash near-dup pairs: (id1, id2, hamming <= max_hamming)."""
+    cfg = cfg or SimHashConfig()
+    docs = prepare_docs(documents)
+    tdict = dedup_token_dict(docs)
+    fps = simhash_fingerprints(docs, tdict, cfg)
+    per_band = cfg.bits // cfg.bands
+    band_keys = [
+        F.concat_ws(
+            "_",
+            F.lit(str(i)),
+            F.array_join(F.slice("bits", i * per_band + 1, per_band), ""),
+        ).alias("bkey")
+        for i in range(cfg.bands)
+    ]
+    buckets = fps.select("doc_id", F.explode(F.array(*band_keys)).alias("bkey"))
+    a = buckets.select("bkey", F.col("doc_id").alias("id1"))
+    b = buckets.select("bkey", F.col("doc_id").alias("id2"))
+    cand = a.join(b, "bkey").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    f1 = fps.select(F.col("doc_id").alias("id1"), F.col("bits").alias("bits1"))
+    f2 = fps.select(F.col("doc_id").alias("id2"), F.col("bits").alias("bits2"))
+    return (
+        cand.join(f1, "id1")
+        .join(f2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.aggregate(
+                F.zip_with("bits1", "bits2", lambda x, y: F.abs(x - y)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= cfg.max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# token n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_duplicates(
+    documents: DataFrame, n: int = 3, threshold: float = 0.6, max_block_df: int = 50
+) -> DataFrame:
+    """Near-dups by Jaccard over token n-grams; n-grams double as block keys.
+
+    Rare n-grams (df <= max_block_df) generate candidate pairs; exact n-gram
+    Jaccard verifies. Returns (id1, id2, jaccard >= threshold).
+    """
+    docs = prepare_docs(documents).select(
+        "doc_id", token_ngrams(F.col("tokens"), n).alias("grams")
+    )
+    g = docs.select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+    rare = g.groupBy("gram").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_block_df
+    )
+    keyed = g.join(F.broadcast(rare.select("gram")), "gram")
+    a = keyed.select("gram", F.col("doc_id").alias("id1"))
+    b = keyed.select("gram", F.col("doc_id").alias("id2"))
+    cand = a.join(b, "gram").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    return token_jaccard_verify(
+        cand, docs.withColumnRenamed("grams", "tokens"), threshold
+    ).withColumnRenamed("jaccard", "ngram_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_planes: int = 8,
+) -> DataFrame:
+    """(id1, id2, cosine >= threshold) over an array<float> embedding column.
+
+    Brute-force O(n²/2) by default (correct baseline); ``bucketed=True``
+    restricts pairs to a shared random-hyperplane LSH bucket (the scale path;
+    see similarity_search.lsh_bucket_keys).
+    """
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    if bucketed:
+        from .similarity_search import lsh_bucket_keys
+
+        keys = lsh_bucket_keys(v.select(F.col("id"), F.col("v")), "id", "v", n_planes)
+        a = keys.select("bucket", F.col("id").alias("id1"))
+        b = keys.select("bucket", F.col("id").alias("id2"))
+        pairs = (
+            a.join(b, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+        )
+    else:
+        a = v.select(F.col("id").alias("id1"))
+        b = v.select(F.col("id").alias("id2"))
+        pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    v1 = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1"))
+    v2 = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2"))
+    return (
+        pairs.join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.aggregate(
+                    F.zip_with("v1", "v2", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("n1") * F.col("n2"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the pipeline as ``binary`` columns with a
+typed metadata struct. The Spark-side machinery here is real and tested —
+schema, partition-preserving ``mapInPandas`` decode, Arrow batch shapes,
+deterministic feature extraction — while the actual codec step is STUBBED
+(this container has no image/audio libraries): ``decode_media`` tries the real
+decoder import and otherwise produces a clearly-marked deterministic fake
+feature vector derived from the payload bytes. Swapping in a real decoder
+changes one function, not the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("decoder", T.StringType(), False),  # 'real' | 'stub'
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table derived from a documents table: the text
+    bytes become the payload (so tests need no external assets)."""
+    return documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            (F.length("text") % 640).cast("int").alias("width"),
+            (F.length("text") % 480).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("application/x-fake").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _try_real_decoder(kind: str):
+    """Import the real codec if present; None in this container."""
+    try:  # pragma: no cover - libs absent in the sandbox
+        if kind == "image":
+            from PIL import Image  # noqa: F401
+
+            return "PIL"
+    except ImportError:
+        pass
+    return None
+
+
+def _stub_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic fake embedding: sha256 -> dim floats in [0, 1).
+
+    Clearly NOT a semantic feature — a placeholder that keeps the distributed
+    plumbing honest (stable across runs/partitions, derived only from bytes).
+    """
+    h = hashlib.sha256(payload or b"").digest()
+    reps = (dim * 4 + len(h) - 1) // len(h)
+    buf = (h * reps)[: dim * 4]
+    arr = np.frombuffer(buf, dtype=np.uint32).astype(np.float64)
+    return (arr % 10_000) / 10_000.0
+
+
+def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """mapInPandas decode/feature-extract. Partition-preserving (no shuffle);
+    each Arrow batch is processed vectorized; per-payload hashing is the only
+    per-element work (inherent to decoding)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].tolist()
+            kinds = pdf["kind"].tolist()
+            feats, shas, decoders, sizes = [], [], [], []
+            for payload, kind in zip(payloads, kinds):
+                b = bytes(payload) if payload is not None else b""
+                real = _try_real_decoder(kind)
+                if real is not None:
+                    raise NotImplementedError(
+                        f"real decoder ({real}) wiring not implemented in sandbox"
+                    )
+                feats.append(_stub_features(b).astype(np.float32))
+                shas.append(hashlib.sha256(b).hexdigest())
+                decoders.append("stub")
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "sha256": shas,
+                    "decoder": decoders,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(process, schema=FEATURES_SCHEMA)
+
+
+def media_stats(features: DataFrame) -> DataFrame:
+    """Per-kind byte stats over decoded media (plain aggregation)."""
+    return features.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg("n_bytes").alias("avg_bytes"),
+        F.count_distinct("sha256").alias("distinct_payloads"),
+    )

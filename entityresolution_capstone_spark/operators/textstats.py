@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines, over ``documents``.
+
+All pure Column algebra (JVM-side, whole-stage-codegen friendly), each with an
+exact ANSI-SQL equivalent for the DuckDB correctness oracle:
+
+- language ID: stopword-hit heuristic over small per-language function-word
+  sets (argmax of hit counts, deterministic tie-break by language code);
+- quality score: length / punctuation ratio / stopword ratio / digit ratio
+  blended into [0,1] (CCNet-style heuristics, simplified);
+- token counts: whitespace tokens + a BPE-ish subword estimate
+  (``ceil(chars/4)`` per long token — the common "1 token ≈ 4 chars" rule);
+- fingerprint: order-sensitive polynomial document hash over dictionary token
+  ids (positional weights mod a Mersenne prime — reproducible in SQL, unlike
+  engine hash builtins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+MERSENNE_P = 2147483647
+POS_MULT = 2654435761 % MERSENNE_P
+
+# Tiny function-word sets; enough signal for coarse lang-id of web text.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "que", "de", "no", "una", "por", "con", "para"],
+    "it": ["il", "la", "che", "di", "non", "una", "per", "con", "del", "sono"],
+}
+
+
+def language_id(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, hits): stopword-count argmax, ties -> smaller code."""
+    toks = tokenize(F.col(text_col))
+    out = documents.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    hit_cols = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter("_t", lambda t: F.array_contains(arr, t)))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hit_cols))  # struct compare: hits then lang
+    return out.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias("pred_lang"),
+        best["hits"].alias("hits"),
+    )
+
+
+def quality_scores(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, stop_ratio, digit_ratio, punct_ratio, mean_token_len, quality).
+
+    quality = 0.3·min(n_tokens/100,1) + 0.3·min(stop_ratio·5,1)
+            + 0.2·(1−digit_ratio) + 0.2·(1−min(punct_ratio·4,1))
+    """
+    toks = tokenize(F.col(text_col))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_x"),
+        toks.alias("_t"),
+    ).select(
+        "doc_id",
+        F.length("_x").alias("n_chars"),
+        F.size("_t").alias("n_tokens"),
+        (
+            F.size(F.filter("_t", lambda t: F.array_contains(en, t)))
+            / F.greatest(F.size("_t"), F.lit(1))
+        ).alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace("_x", "[^0-9]", ""))
+            / F.greatest(F.length("_x"), F.lit(1))
+        ).alias("digit_ratio"),
+        (
+            F.length(F.regexp_replace("_x", "[a-zA-Z0-9 ]", ""))
+            / F.greatest(F.length("_x"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.aggregate("_t", F.lit(0), lambda a, t: a + F.length(t))
+            / F.greatest(F.size("_t"), F.lit(1))
+        ).alias("mean_token_len"),
+    )
+    quality = (
+        0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * F.least(F.col("stop_ratio") * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.col("digit_ratio"))
+        + 0.2 * (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0)))
+    )
+    return base.withColumn("quality", quality)
+
+
+def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, subword_est): whitespace count + ceil(len/4) subwords."""
+    toks = tokenize(F.col(text_col))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("ws_tokens"),
+        F.aggregate(
+            toks, F.lit(0), lambda a, t: a + F.ceil(F.length(t) / F.lit(4.0)).cast("int")
+        ).alias("subword_est"),
+    )
+
+
+def doc_fingerprints(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): Σ_pos token_id · ((pos+1)·M mod P) mod P.
+
+    Order-sensitive (swapping tokens changes the value), dictionary-based so
+    the oracle reproduces it with the same row_number() dictionary.
+    """
+    docs = documents.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tokens"))
+    dft = (
+        docs.select(F.explode(F.array_distinct("tokens")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.orderBy("df", "token")
+    tdict = dft.select("token", F.row_number().over(w).cast("long").alias("token_id"))
+    pos = docs.select("doc_id", F.posexplode("tokens").alias("pos", "token")).join(
+        F.broadcast(tdict), "token"
+    )
+    term = (
+        F.col("token_id")
+        * ((F.col("pos") + 1).cast("long") * F.lit(POS_MULT) % F.lit(MERSENNE_P))
+    ) % F.lit(MERSENNE_P)
+    return (
+        pos.groupBy("doc_id")
+        .agg((F.sum(term) % F.lit(MERSENNE_P)).alias("fingerprint"))
+    )

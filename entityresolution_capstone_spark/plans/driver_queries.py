@@ -1,0 +1,1021 @@
+"""Driver-contract queries + ANSI-SQL (DuckDB) oracles.
+
+Each entry in :data:`QUERIES` is a named operator from SURVEY.md §2 (or a
+training-data-pipeline operator) as a ``(spark, sf_dir) -> DataFrame``
+callable; :data:`ORACLES` holds the equivalent DuckDB SQL over the
+pre-registered views (``documents``, ``embeddings``, ``events`` ...).
+
+Design rules that make the oracle comparison exact:
+- the ER queries run over *derived transcripts*: a deterministic, purely
+  SQL-expressible expansion of ``documents`` into turn rows (token slices of 8
+  tokens per turn), so Spark and DuckDB compute over identical inputs with no
+  side-channel data;
+- every hash is dictionary-based arithmetic ``(a·token_id + b) mod P`` with the
+  token dictionary = ``row_number() over (order by df, token)`` — reproducible
+  in any SQL dialect (no engine hash builtins);
+- doubles are rounded (6 dp) in BOTH engines; Jaro-Winkler gets no SQL oracle
+  because DuckDB's jaro matching variant intentionally diverges from the
+  reference's py_stringmatching semantics (see tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, tokenize_sql
+from ..functions.tfidf import doc_frequencies, tfidf_cosine_pairs, tfidf_norms, tfidf_vectors
+from ..operators import blocking as B
+from ..operators import dedup as D
+from ..operators import similarity_search as S
+from ..operators import textstats as TS
+from ..operators.canonicalize import canonical_docs
+from ..operators.cc import assign_clusters, connected_components
+from ..operators.scoring import ScoringConfig, score_pairs
+
+MERSENNE_P = 2147483647
+TURN_TOKENS = 8
+PREFIX = 64
+
+# ER blocking over the derived transcripts: documents share a ~31-word
+# vocabulary, so token keys are all hot; MinHash bands with r=4 are the
+# selective blocker. Token keys stay enabled with a small df cap to exercise
+# the capping path.
+ER_BLOCKING = B.BlockingConfig(
+    use_token_keys=False,
+    use_minhash=True,
+    minhash_rows=4,
+    minhash_bands=4,
+    seed=7,
+    max_block_size=400,
+)
+ER_WEIGHTS = {"lev": 0.4, "tfidf": 0.6}
+ER_THRESHOLD = 0.82
+
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> transcripts(conv_id, turn_idx, role, text, tool, ts).
+
+    Deterministic in both engines: turn t carries tokens [8t+1 .. 8t+8] of the
+    tokenized document text; roles cycle user/assistant/tool.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.format_string("c%06d", "doc_id").alias("conv_id"),
+        tokenize(F.col("text")).alias("_toks"),
+    )
+    n_turns = F.greatest(
+        F.lit(1), F.ceil(F.size("_toks") / F.lit(float(TURN_TOKENS))).cast("int")
+    )
+    t = base.select(
+        "conv_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_turns - 1)).alias("turn_idx"),
+    )
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("turn_idx") % 3 + 1).cast("int"),
+    )
+    return t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.array_join(
+            F.slice("_toks", F.col("turn_idx") * TURN_TOKENS + 1, TURN_TOKENS), " "
+        ).alias("text"),
+        F.when(role == "tool", F.lit("search")).otherwise(F.lit("")).alias("tool"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, turn_idx)"
+        ).alias("ts"),
+    )
+
+
+TOK = tokenize_sql("text")
+
+# transcripts CTE body (prepend WITH): identical semantics to derive_transcripts
+TRANSCRIPTS_CTE = f"""
+doc_tokens as (
+    select printf('c%06d', doc_id) as conv_id, {TOK} as toks from documents
+),
+transcripts as (
+    select conv_id,
+           cast(u.turn_idx as int) as turn_idx,
+           (['user','assistant','tool'])[(u.turn_idx % 3) + 1] as role,
+           array_to_string(list_slice(toks, u.turn_idx*{TURN_TOKENS}+1,
+                                      u.turn_idx*{TURN_TOKENS}+{TURN_TOKENS}), ' ') as text
+    from doc_tokens,
+         lateral (select unnest(range(greatest(1, cast(ceil(len(toks)/{TURN_TOKENS}.0) as int)))) as turn_idx) u
+)"""
+
+# canonical docs reconstructed from the transcripts CTE (independent route:
+# ordered string_agg, NOT the token-array shortcut)
+CANON_CTE = (
+    TRANSCRIPTS_CTE
+    + """,
+canon as (
+    select conv_id,
+           string_agg(text, ' ' order by turn_idx) as doc,
+           count(*) as n_turns
+    from transcripts group by conv_id
+)"""
+)
+
+_DOC_TOK = tokenize_sql("doc")
+
+# token dictionary + document frequencies over canonical docs
+DICT_CTE = (
+    CANON_CTE
+    + f""",
+doc_toks as (
+    select conv_id, unnest(list_distinct({_DOC_TOK})) as token from canon
+),
+df_table as (
+    select token, count(*) as df from doc_toks group by token
+),
+token_dict as (
+    select token, df, row_number() over (order by df, token) as token_id from df_table
+)"""
+)
+
+
+def _hash_values_sql(n: int, seed: int) -> str:
+    params = B._hash_params(n, seed)
+    rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    return f"(values {rows}) as hashes(i, a, b)"
+
+
+def _minhash_cte(cfg: B.BlockingConfig) -> str:
+    """CTE 'mh_blocks(conv_id, block_key)' replicating minhash_signatures."""
+    n = cfg.minhash_rows * cfg.minhash_bands
+    return (
+        DICT_CTE
+        + f""",
+tok_ids as (
+    select dt.conv_id, td.token_id from doc_toks dt join token_dict td using (token)
+),
+mins as (
+    select conv_id, i, min((a * token_id + b) % {MERSENNE_P}) as v
+    from tok_ids cross join {_hash_values_sql(n, cfg.seed)}
+    group by conv_id, i
+),
+mh_blocks as (
+    select conv_id,
+           'mh:' || cast(i // {cfg.minhash_rows} as varchar) || ':' ||
+           string_agg(cast(v as varchar), '_' order by i) as block_key
+    from mins group by conv_id, i // {cfg.minhash_rows}
+)"""
+    )
+
+
+def _er_pairs_cte(cfg: B.BlockingConfig) -> str:
+    """CTE 'cand_pairs(id1, id2)' with hot-block capping, replicating
+    candidate_pairs over minhash blocks."""
+    return (
+        _minhash_cte(cfg)
+        + f""",
+blk_sizes as (
+    select block_key, count(*) as sz from mh_blocks group by block_key
+),
+kept as (
+    select b.* from mh_blocks b join blk_sizes s using (block_key)
+    where s.sz <= {cfg.max_block_size}
+),
+cand_pairs as (
+    select distinct a.conv_id as id1, b.conv_id as id2
+    from kept a join kept b using (block_key)
+    where a.conv_id < b.conv_id
+)"""
+    )
+
+
+def _er_blocks(spark: SparkSession, sf_dir: str):
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t, prefix_len=PREFIX)
+    dft = doc_frequencies(docs)
+    tdict = B.token_dictionary(dft)
+    blocks = B.build_blocks(docs, tdict, ER_BLOCKING)
+    return t, docs, dft, tdict, blocks
+
+
+# ---------------------------------------------------------------------------
+# ER pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_er_canonicalize(spark, sf_dir):
+    t = derive_transcripts(spark, sf_dir)
+    return canonical_docs(t).select(
+        "conv_id", "doc", F.col("n_turns").cast("long").alias("n_turns")
+    )
+
+
+SQL_ER_CANONICALIZE = (
+    "with "
+    + CANON_CTE
+    + "\nselect conv_id, doc, n_turns from canon"
+)
+
+
+def q_er_tokens(spark, sf_dir):
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t)
+    return docs.select(
+        "conv_id", F.posexplode("tokens").alias("pos", "token")
+    ).select("conv_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+SQL_ER_TOKENS = (
+    "with "
+    + CANON_CTE
+    + f"""
+select conv_id,
+       cast(generate_subscripts({_DOC_TOK}, 1) - 1 as bigint) as pos,
+       unnest({_DOC_TOK}) as token
+from canon"""
+)
+
+
+def q_er_minhash_bands(spark, sf_dir):
+    _, docs, dft, tdict, _ = _er_blocks(spark, sf_dir)
+    return B.minhash_signatures(docs, tdict, ER_BLOCKING)
+
+
+SQL_ER_MINHASH_BANDS = (
+    "with " + _minhash_cte(ER_BLOCKING) + "\nselect conv_id, block_key from mh_blocks"
+)
+
+
+def q_er_candidate_pairs(spark, sf_dir):
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    return B.candidate_pairs(blocks, ER_BLOCKING)
+
+
+SQL_ER_CANDIDATE_PAIRS = (
+    "with " + _er_pairs_cte(ER_BLOCKING) + "\nselect id1, id2 from cand_pairs"
+)
+
+
+def q_er_block_metrics(spark, sf_dir):
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    return B.block_size_metrics(blocks, ER_BLOCKING).select(
+        "block_key", F.col("size").cast("long").alias("size"), "dropped", "pairs_if_kept"
+    )
+
+
+SQL_ER_BLOCK_METRICS = (
+    "with "
+    + _minhash_cte(ER_BLOCKING)
+    + f"""
+select block_key,
+       count(*) as size,
+       count(*) > {ER_BLOCKING.max_block_size} as dropped,
+       cast(count(*) * (count(*) - 1) / 2 as bigint) as pairs_if_kept
+from mh_blocks group by block_key"""
+)
+
+
+def q_er_pairs_lev(spark, sf_dir):
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
+    d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
+    mx = F.greatest(F.length("p1"), F.length("p2"))
+    lev_sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein("p1", "p2") / mx.cast("double")
+    )
+    return (
+        pairs.join(d1, "id1").join(d2, "id2")
+        .select("id1", "id2", F.round(lev_sim, 6).alias("lev_sim"))
+    )
+
+
+SQL_ER_PAIRS_LEV = (
+    "with "
+    + _er_pairs_cte(ER_BLOCKING)
+    + f"""
+select p.id1, p.id2,
+       round(case when greatest(length(c1.pfx), length(c2.pfx)) = 0 then 1.0
+             else 1.0 - levenshtein(c1.pfx, c2.pfx) /
+                  cast(greatest(length(c1.pfx), length(c2.pfx)) as double) end,
+             6) as lev_sim
+from cand_pairs p
+join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c1 on p.id1 = c1.conv_id
+join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c2 on p.id2 = c2.conv_id"""
+)
+
+
+def q_er_pairs_tfidf(spark, sf_dir):
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    n = docs.count()
+    vectors = tfidf_vectors(docs, dft, n)
+    norms = tfidf_norms(vectors)
+    cos = tfidf_cosine_pairs(pairs, vectors, norms)
+    return cos.select("id1", "id2", F.round("tfidf_cosine", 6).alias("tfidf_cosine"))
+
+
+_TFIDF_CTE = (
+    _er_pairs_cte(ER_BLOCKING)
+    + f""",
+n_docs as (select count(*) as n from canon),
+tf as (
+    select conv_id, token, count(*) as tf
+    from (select conv_id, unnest({tokenize_sql('canon.doc')}) as token from canon)
+    group by conv_id, token
+),
+vec as (
+    select tf.conv_id, tf.token, tf.tf * (n_docs.n / df_table.df) as w
+    from tf join df_table using (token) cross join n_docs
+),
+nrm as (
+    select conv_id, sqrt(sum(w*w)) as norm from vec group by conv_id
+),
+dots as (
+    select p.id1, p.id2, sum(v1.w * v2.w) as dot
+    from cand_pairs p
+    join vec v1 on v1.conv_id = p.id1
+    join vec v2 on v2.conv_id = p.id2 and v2.token = v1.token
+    group by p.id1, p.id2
+)"""
+)
+
+SQL_ER_PAIRS_TFIDF = (
+    "with "
+    + _TFIDF_CTE
+    + """
+select p.id1, p.id2,
+       round(case when n1.norm > 0 and n2.norm > 0
+                  then coalesce(d.dot, 0) / (n1.norm * n2.norm) else 0 end, 6)
+           as tfidf_cosine
+from cand_pairs p
+left join dots d on d.id1 = p.id1 and d.id2 = p.id2
+join nrm n1 on n1.conv_id = p.id1
+join nrm n2 on n2.conv_id = p.id2"""
+)
+
+
+def q_er_pairs_jw(spark, sf_dir):
+    """Jaro-Winkler scored pairs (pandas-UDF kernel). NO SQL oracle: the
+    reference's greedy JW matching diverges from DuckDB's variant on some
+    unequal-length inputs (tests/test_kernels.py pins ours to the reference).
+    Driver records the weaker rows-only check for this one."""
+    from ..functions.similarity import make_pair_sim_udf
+
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    jw = make_pair_sim_udf("jaro_winkler", max_len=PREFIX)
+    d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
+    d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
+    return (
+        pairs.join(d1, "id1").join(d2, "id2")
+        .select("id1", "id2", F.round(jw("p1", "p2"), 6).alias("jw_sim"))
+    )
+
+
+def q_er_exact_match(spark, sf_dir):
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t)
+    groups = docs.groupBy("doc").agg(
+        F.min("conv_id").alias("keep_id"), F.count("*").alias("group_size")
+    )
+    return (
+        docs.join(groups.filter(F.col("group_size") > 1), "doc")
+        .select("conv_id", "keep_id", "group_size")
+    )
+
+
+SQL_ER_EXACT_MATCH = (
+    "with "
+    + CANON_CTE
+    + """,
+grp as (
+    select doc, min(conv_id) as keep_id, count(*) as group_size
+    from canon group by doc having count(*) > 1
+)
+select c.conv_id, g.keep_id, g.group_size from canon c join grp g using (doc)"""
+)
+
+
+def _er_scored_edges_cte() -> str:
+    """CTE 'edges(id1,id2)': lev/tfidf weighted score >= θ, plus exact matches."""
+    w_lev, w_tfidf = ER_WEIGHTS["lev"], ER_WEIGHTS["tfidf"]
+    return (
+        _TFIDF_CTE
+        + f""",
+scored as (
+    select p.id1, p.id2,
+           {w_lev} * (case when greatest(length(c1.pfx), length(c2.pfx)) = 0 then 1.0
+                      else 1.0 - levenshtein(c1.pfx, c2.pfx) /
+                           cast(greatest(length(c1.pfx), length(c2.pfx)) as double) end)
+           + {w_tfidf} * (case when n1.norm > 0 and n2.norm > 0
+                          then coalesce(d.dot, 0) / (n1.norm * n2.norm) else 0 end)
+               as sim
+    from cand_pairs p
+    left join dots d on d.id1 = p.id1 and d.id2 = p.id2
+    join nrm n1 on n1.conv_id = p.id1
+    join nrm n2 on n2.conv_id = p.id2
+    join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c1 on p.id1 = c1.conv_id
+    join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c2 on p.id2 = c2.conv_id
+),
+exact_grp as (
+    select doc, min(conv_id) as keep_id, count(*) as n from canon group by doc having count(*) > 1
+),
+exact_edges as (
+    select g.keep_id as id1, c.conv_id as id2
+    from canon c join exact_grp g using (doc) where c.conv_id <> g.keep_id
+),
+edges as (
+    select id1, id2 from scored where sim >= {ER_THRESHOLD}
+    union
+    select id1, id2 from exact_edges
+)"""
+    )
+
+
+def q_er_clusters(spark, sf_dir):
+    """Full pipeline: minhash blocking -> lev+tfidf scoring -> threshold +
+    exact-match seed edges -> large-star/small-star connected components."""
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    n = docs.count()
+    scored = score_pairs(
+        pairs,
+        docs,
+        ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
+        df_table=dft,
+        corpus_size=n,
+    )
+    from ..operators.bootstrap import exact_match_edges
+
+    edges = (
+        scored.filter(F.col("sim") >= ER_THRESHOLD)
+        .select("id1", "id2")
+        .unionByName(exact_match_edges(docs, ["doc"]))
+        .distinct()
+    )
+    return assign_clusters(docs, connected_components(edges, checkpoint=False))
+
+
+SQL_ER_CLUSTERS = (
+    "with recursive "
+    + _er_scored_edges_cte()
+    + """,
+sym as (
+    select id1 as a, id2 as b from edges
+    union select id2, id1 from edges
+),
+reach(a, b) as (
+    select a, b from sym
+    union
+    select r.a, s.b from reach r join sym s on r.b = s.a
+),
+comp as (
+    select a as conv_id, least(a, min(b)) as cluster_id from reach group by a
+)
+select c.conv_id, coalesce(comp.cluster_id, c.conv_id) as cluster_id
+from canon c left join comp on c.conv_id = comp.conv_id"""
+)
+
+
+def q_er_pairwise_f1(spark, sf_dir):
+    """Pairwise P/R/F1 of the exact-match clustering vs synthetic labels
+    (entity = doc_id % 97) — exercises the metric algebra end to end."""
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t)
+    groups = docs.groupBy("doc").agg(F.min("conv_id").alias("rep"))
+    preds = docs.join(groups, "doc").select(
+        "conv_id", F.col("rep").alias("cluster_id")
+    )
+    labels = load(spark, sf_dir, "documents").select(
+        F.format_string("c%06d", "doc_id").alias("conv_id"),
+        (F.col("doc_id") % 97).alias("entity_id"),
+    )
+    j = labels.join(preds, "conv_id")
+    cont = j.groupBy("entity_id", "cluster_id").agg(F.count("*").alias("nn"))
+    tp = cont.select(F.sum(F.col("nn") * (F.col("nn") - 1) / 2).alias("v"))
+    pp = (
+        j.groupBy("cluster_id").agg(F.count("*").alias("nn"))
+        .select(F.sum(F.col("nn") * (F.col("nn") - 1) / 2).alias("v"))
+    )
+    lp = (
+        j.groupBy("entity_id").agg(F.count("*").alias("nn"))
+        .select(F.sum(F.col("nn") * (F.col("nn") - 1) / 2).alias("v"))
+    )
+    tpv = tp.collect()[0]["v"] or 0.0
+    ppv = pp.collect()[0]["v"] or 0.0
+    lpv = lp.collect()[0]["v"] or 0.0
+    precision = tpv / ppv if ppv else 0.0
+    recall = tpv / lpv if lpv else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return spark.createDataFrame(
+        [(round(precision, 6), round(recall, 6), round(f1, 6))],
+        "precision double, recall double, f1 double",
+    )
+
+
+SQL_ER_PAIRWISE_F1 = (
+    "with "
+    + CANON_CTE
+    + """,
+preds as (
+    select conv_id, min(conv_id) over (partition by doc) as cluster_id from canon
+),
+labels as (
+    select printf('c%06d', doc_id) as conv_id, doc_id % 97 as entity_id from documents
+),
+j as (select l.conv_id, l.entity_id, p.cluster_id from labels l join preds p using (conv_id)),
+tp as (select coalesce(sum(n*(n-1)/2.0), 0) v from (select count(*) n from j group by entity_id, cluster_id)),
+pp as (select coalesce(sum(n*(n-1)/2.0), 0) v from (select count(*) n from j group by cluster_id)),
+lp as (select coalesce(sum(n*(n-1)/2.0), 0) v from (select count(*) n from j group by entity_id))
+select round(case when pp.v > 0 then tp.v / pp.v else 0 end, 6) as precision,
+       round(case when lp.v > 0 then tp.v / lp.v else 0 end, 6) as recall,
+       round(case when (case when pp.v > 0 then tp.v/pp.v else 0 end)
+                     + (case when lp.v > 0 then tp.v/lp.v else 0 end) > 0
+             then 2 * (tp.v/pp.v) * (tp.v/lp.v) / ((tp.v/pp.v) + (tp.v/lp.v))
+             else 0 end, 6) as f1
+from tp, pp, lp"""
+)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = D.prepare_docs(load(spark, sf_dir, "documents"))
+    return D.exact_duplicates(docs)
+
+
+SQL_DEDUP_EXACT = """
+with grp as (
+    select text, min(doc_id) as keep_id, count(*) as group_size
+    from documents group by text having count(*) > 1
+)
+select d.doc_id, g.keep_id, g.group_size
+from documents d join grp g using (text)"""
+
+
+_MH = D.MinHashConfig(rows=4, bands=4, seed=7, jaccard_threshold=0.8)
+
+# dedup token dictionary / minhash over raw documents (not transcripts)
+_DEDUP_DICT_CTE = f"""
+doc_toks as (
+    select doc_id, unnest(list_distinct({TOK})) as token from documents
+),
+df_table as (select token, count(*) as df from doc_toks group by token),
+token_dict as (
+    select token, df, row_number() over (order by df, token) as token_id from df_table
+),
+tok_ids as (
+    select dt.doc_id, td.token_id from doc_toks dt join token_dict td using (token)
+)"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    dups = D.minhash_duplicates(load(spark, sf_dir, "documents"), _MH)
+    return dups.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_MINHASH = (
+    "with "
+    + _DEDUP_DICT_CTE
+    + f""",
+mins as (
+    select doc_id, i, min((a * token_id + b) % {MERSENNE_P}) as v
+    from tok_ids cross join {_hash_values_sql(_MH.rows * _MH.bands, _MH.seed)}
+    group by doc_id, i
+),
+buckets as (
+    select doc_id,
+           cast(i // {_MH.rows} as varchar) || '_' ||
+           string_agg(cast(v as varchar), '_' order by i) as bkey
+    from mins group by doc_id, i // {_MH.rows}
+),
+cand as (
+    select distinct a.doc_id as id1, b.doc_id as id2
+    from buckets a join buckets b using (bkey) where a.doc_id < b.doc_id
+),
+sizes as (select doc_id, count(*) as n from doc_toks group by doc_id),
+inter as (
+    select c.id1, c.id2, count(*) as n_inter
+    from cand c
+    join doc_toks t1 on t1.doc_id = c.id1
+    join doc_toks t2 on t2.doc_id = c.id2 and t2.token = t1.token
+    group by c.id1, c.id2
+)
+select c.id1, c.id2,
+       round(coalesce(i.n_inter, 0)::double /
+             (s1.n + s2.n - coalesce(i.n_inter, 0)), 6) as jaccard
+from cand c
+left join inter i on i.id1 = c.id1 and i.id2 = c.id2
+join sizes s1 on s1.doc_id = c.id1
+join sizes s2 on s2.doc_id = c.id2
+where coalesce(i.n_inter, 0)::double / (s1.n + s2.n - coalesce(i.n_inter, 0))
+      >= {_MH.jaccard_threshold}"""
+)
+
+
+_SH = D.SimHashConfig(bits=32, bands=4, seed=13, max_hamming=3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_duplicates(load(spark, sf_dir, "documents"), _SH)
+
+
+SQL_DEDUP_SIMHASH = (
+    "with "
+    + _DEDUP_DICT_CTE
+    + f""",
+toks_all as (
+    select doc_id, unnest({TOK}) as token from documents
+),
+tf as (
+    select ta.doc_id, td.token_id, count(*) as tf
+    from toks_all ta join token_dict td using (token)
+    group by ta.doc_id, td.token_id
+),
+bit_sums as (
+    select doc_id, i,
+           sum(tf * (((a * token_id + b) % {MERSENNE_P}) % 2 * 2 - 1)) as s
+    from tf cross join {_hash_values_sql(_SH.bits, _SH.seed)}
+    group by doc_id, i
+),
+bits as (
+    select doc_id, i, case when s > 0 then 1 else 0 end as bit from bit_sums
+),
+bands as (
+    select doc_id,
+           cast(i // {_SH.bits // _SH.bands} as varchar) || '_' ||
+           string_agg(cast(bit as varchar), '' order by i) as bkey
+    from bits group by doc_id, i // {_SH.bits // _SH.bands}
+),
+cand as (
+    select distinct a.doc_id as id1, b.doc_id as id2
+    from bands a join bands b using (bkey) where a.doc_id < b.doc_id
+),
+ham as (
+    select c.id1, c.id2, sum(abs(b1.bit - b2.bit)) as hamming
+    from cand c
+    join bits b1 on b1.doc_id = c.id1
+    join bits b2 on b2.doc_id = c.id2 and b2.i = b1.i
+    group by c.id1, c.id2
+)
+select id1, id2, cast(hamming as int) as hamming from ham
+where hamming <= {_SH.max_hamming}"""
+)
+
+
+def q_dedup_ngram(spark, sf_dir):
+    dups = D.ngram_jaccard_duplicates(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.6, max_block_df=50
+    )
+    return dups.select("id1", "id2", F.round("ngram_jaccard", 6).alias("ngram_jaccard"))
+
+
+SQL_DEDUP_NGRAM = f"""
+with toks as (
+    select doc_id, {TOK} as t from documents
+),
+gr as (
+    select doc_id, unnest(list_distinct(gl)) as gram
+    from (
+        select doc_id,
+               case when len(t) = 0 then []
+                    else [array_to_string(list_slice(t, s, s + 2), ' ')
+                          for s in range(1, greatest(len(t) - 2, 1) + 1)] end as gl
+        from toks
+    )
+),
+rare as (select gram from gr group by gram having count(*) <= 50),
+keyed as (select gr.doc_id, gr.gram from gr join rare using (gram)),
+cand as (
+    select distinct a.doc_id as id1, b.doc_id as id2
+    from keyed a join keyed b using (gram) where a.doc_id < b.doc_id
+),
+sizes as (select doc_id, count(*) as n from gr group by doc_id),
+inter as (
+    select c.id1, c.id2, count(*) as n_inter
+    from cand c
+    join gr t1 on t1.doc_id = c.id1
+    join gr t2 on t2.doc_id = c.id2 and t2.gram = t1.gram
+    group by c.id1, c.id2
+)
+select c.id1, c.id2,
+       round(coalesce(i.n_inter, 0)::double /
+             (s1.n + s2.n - coalesce(i.n_inter, 0)), 6) as ngram_jaccard
+from cand c
+left join inter i on i.id1 = c.id1 and i.id2 = c.id2
+join sizes s1 on s1.doc_id = c.id1
+join sizes s2 on s2.doc_id = c.id2
+where coalesce(i.n_inter, 0)::double / (s1.n + s2.n - coalesce(i.n_inter, 0)) >= 0.6"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    dups = D.embedding_cosine_duplicates(
+        load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+    return dups.select("id1", "id2", F.round("cosine", 5).alias("cosine"))
+
+
+SQL_DEDUP_EMBEDDING = """
+with v as (
+    select vec_id as id, embedding::DOUBLE[] as e from embeddings
+),
+n as (select id, e, sqrt(list_dot_product(e, e)) as nrm from v)
+select a.id as id1, b.id as id2,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) as cosine
+from n a join n b on a.id < b.id
+where list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35"""
+
+
+def q_sim_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_SIM_TOPK = """
+with v as (select vec_id as id, embedding::DOUBLE[] as e from embeddings),
+n as (select id, e, sqrt(list_dot_product(e, e)) as nrm from v),
+q as (select * from n where id < 8),
+dots as (
+    select q.id as query_id, c.id as neighbor_id,
+           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) as cos
+    from q join n c on c.id <> q.id
+),
+ranked as (
+    select query_id, neighbor_id, cos,
+           row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+    from dots
+)
+select query_id, neighbor_id, round(cos, 5) as cosine, rank
+from ranked where rank <= 10"""
+
+
+def q_ann_buckets(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_keys(emb, n_planes=8, n_tables=1)
+
+
+def _ann_buckets_sql(n_planes: int = 8, dim: int = 64) -> str:
+    bit_exprs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"e[{d + 1}] * ({S._plane_coeff(p, d)})" for d in range(dim)
+        )
+        bit_exprs.append(f"case when ({terms}) > 0 then '1' else '0' end")
+    concat = " || ".join(bit_exprs)
+    return f"""
+with v as (select vec_id as id, embedding::DOUBLE[] as e from embeddings)
+select id, '0:' || {concat} as bucket from v"""
+
+
+SQL_ANN_BUCKETS = _ann_buckets_sql()
+
+
+def q_lang_id(spark, sf_dir):
+    return TS.language_id(load(spark, sf_dir, "documents"))
+
+
+def _stopword_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TS.STOPWORDS[lang])
+    return f"len(list_filter({TOK}, t -> list_contains([{words}], t)))"
+
+
+SQL_LANG_ID = (
+    "with hits as (select doc_id, "
+    + ", ".join(f"{_stopword_hits_sql(lang)} as h_{lang}" for lang in sorted(TS.STOPWORDS))
+    + """ from documents),
+best as (
+    select doc_id,
+           list_aggregate([{'hits': h_de, 'lang': 'de'}, {'hits': h_en, 'lang': 'en'},
+                  {'hits': h_es, 'lang': 'es'}, {'hits': h_fr, 'lang': 'fr'},
+                  {'hits': h_it, 'lang': 'it'}], 'max') as b
+    from hits
+)
+select doc_id,
+       case when b.hits > 0 then b.lang else 'unknown' end as pred_lang,
+       b.hits as hits
+from best"""
+)
+
+
+def q_token_count(spark, sf_dir):
+    return TS.token_counts(load(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = f"""
+select doc_id,
+       len({TOK}) as ws_tokens,
+       coalesce(list_sum(list_transform({TOK},
+                t -> cast(ceil(length(t) / 4.0) as int))), 0) as subword_est
+from documents"""
+
+
+def q_quality(spark, sf_dir):
+    q = TS.quality_scores(load(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
+
+SQL_QUALITY = f"""
+with base as (
+    select doc_id,
+           length(text) as n_chars,
+           len({TOK}) as n_tokens,
+           len(list_filter({TOK}, t -> list_contains([{_EN_WORDS}], t)))
+               / greatest(len({TOK}), 1)::double as stop_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / greatest(length(text), 1)::double as digit_ratio,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+               / greatest(length(text), 1)::double as punct_ratio
+    from documents
+)
+select doc_id, n_chars, n_tokens,
+       round(stop_ratio, 6) as stop_ratio,
+       round(digit_ratio, 6) as digit_ratio,
+       round(punct_ratio, 6) as punct_ratio,
+       round(0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * least(stop_ratio * 5.0, 1.0)
+           + 0.2 * (1.0 - digit_ratio)
+           + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) as quality
+from base"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return TS.doc_fingerprints(load(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = f"""
+with toks as (select doc_id, {TOK} as t from documents),
+pos as (
+    select doc_id,
+           generate_subscripts(t, 1) - 1 as p,
+           unnest(t) as token
+    from toks
+),
+df_table as (
+    select token, count(*) as df
+    from (select distinct doc_id, token from pos) group by token
+),
+token_dict as (
+    select token, row_number() over (order by df, token) as token_id from df_table
+)
+select doc_id,
+       sum(token_id * ((p + 1) * {TS.POS_MULT} % {MERSENNE_P}) % {MERSENNE_P})
+           % {MERSENNE_P} as fingerprint
+from pos join token_dict using (token)
+group by doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# events queries (window / time-series surface)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') as hour,
+       event_type,
+       count(*) as n,
+       round(avg(value), 6) as avg_value
+from events group by 1, 2"""
+
+
+def q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+        ).cast("int").alias("new_session"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.coalesce(F.sum("new_session"), F.lit(0)) + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+with g as (
+    select user_id,
+           case when epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts, event_id)) > 1800
+                then 1 else 0 end as new_session
+    from events
+)
+select user_id, coalesce(sum(new_session), 0) + 1 as n_sessions, count(*) as n_events
+from g group by user_id"""
+
+
+def q_events_running(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 6).alias("running_value")
+    )
+
+
+SQL_EVENTS_RUNNING = """
+select user_id, event_id,
+       round(sum(value) over (partition by user_id order by ts, event_id
+             rows between unbounded preceding and current row), 6) as running_value
+from events where user_id < 5"""
+
+
+# ---------------------------------------------------------------------------
+# registries
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "er_canonicalize": q_er_canonicalize,
+    "er_tokens": q_er_tokens,
+    "er_minhash_bands": q_er_minhash_bands,
+    "er_candidate_pairs": q_er_candidate_pairs,
+    "er_block_metrics": q_er_block_metrics,
+    "er_pairs_lev": q_er_pairs_lev,
+    "er_pairs_tfidf": q_er_pairs_tfidf,
+    "er_pairs_jw": q_er_pairs_jw,
+    "er_exact_match": q_er_exact_match,
+    "er_clusters": q_er_clusters,
+    "er_pairwise_f1": q_er_pairwise_f1,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_embedding": q_dedup_embedding,
+    "sim_topk": q_sim_topk,
+    "ann_buckets": q_ann_buckets,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_running": q_events_running,
+}
+
+ORACLES = {
+    "er_canonicalize": SQL_ER_CANONICALIZE,
+    "er_tokens": SQL_ER_TOKENS,
+    "er_minhash_bands": SQL_ER_MINHASH_BANDS,
+    "er_candidate_pairs": SQL_ER_CANDIDATE_PAIRS,
+    "er_block_metrics": SQL_ER_BLOCK_METRICS,
+    "er_pairs_lev": SQL_ER_PAIRS_LEV,
+    "er_pairs_tfidf": SQL_ER_PAIRS_TFIDF,
+    # er_pairs_jw: intentionally no oracle (JW variant divergence; see docstring)
+    "er_exact_match": SQL_ER_EXACT_MATCH,
+    "er_clusters": SQL_ER_CLUSTERS,
+    "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram": SQL_DEDUP_NGRAM,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "sim_topk": SQL_SIM_TOPK,
+    "ann_buckets": SQL_ANN_BUCKETS,
+    "lang_id": SQL_LANG_ID,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality": SQL_QUALITY,
+    "fingerprint": SQL_FINGERPRINT,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_running": SQL_EVENTS_RUNNING,
+}

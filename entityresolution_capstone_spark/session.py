@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the record-linkage pipeline.
+
+Defaults are chosen for the sandbox (``local[N]``) but every knob matters at
+cluster scale too: Arrow for pandas-UDF transport, AQE (+ skew-join splitting)
+for runtime re-planning of the blocking self-join, an explicit checkpoint
+directory so connected-components rounds can cut lineage, and a shuffle
+partition count sized to the parallelism level.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = "entityresolution-capstone-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with pipeline-appropriate defaults.
+
+    Parameters mirror what a ``spark-submit`` wrapper would set via ``--conf``;
+    on a real cluster the master/memory flags come from the launcher and only
+    the SQL-level settings below matter.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Arrow transport for pandas UDFs (vectorized kernels; no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # AQE: runtime coalescing + skew-join splitting for the blocking self-join.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Keep scans splittable at the target SF.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(
+            tempfile.gettempdir(), "ercs_checkpoints", spark.sparkContext.applicationId
+        )
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return spark

@@ -1,0 +1,87 @@
+"""Dedup operators over the driver-generated documents table (sf0.001)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from entityresolution_capstone_spark.operators import dedup as D
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(documents):
+    return D.prepare_docs(documents).cache()
+
+
+def test_exact_duplicates_match_duckdb(spark, documents, docs):
+    got = sorted(
+        (r["doc_id"], r["keep_id"], r["group_size"])
+        for r in D.exact_duplicates(docs).collect()
+    )
+    want = duckdb.sql(
+        f"""
+        with g as (
+          select text, min(doc_id) keep_id, count(*) n
+          from '{SF_DIR}/documents.parquet' group by text having count(*) > 1
+        )
+        select d.doc_id, g.keep_id, g.n
+        from '{SF_DIR}/documents.parquet' d join g using (text)
+        order by 1
+        """
+    ).fetchall()
+    assert got == [(a, b, c) for a, b, c in want]
+
+
+def test_minhash_finds_exact_dups_and_is_jaccard_correct(spark, documents, docs):
+    dups = D.minhash_duplicates(documents).cache()
+    # every returned pair really has jaccard >= threshold (verify one by hand)
+    sample = dups.limit(5).collect()
+    tok = {
+        r["doc_id"]: set(r["tokens"]) for r in docs.collect()
+    }
+    for r in sample:
+        t1, t2 = tok[r["id1"]], tok[r["id2"]]
+        j = len(t1 & t2) / len(t1 | t2)
+        assert j == pytest.approx(r["jaccard"])
+        assert j >= 0.7
+    # exact text duplicates (jaccard 1.0) must all be caught by LSH
+    exact = D.exact_duplicates(docs)
+    exact_pairs = exact.filter(F.col("doc_id") != F.col("keep_id")).select(
+        F.least("doc_id", "keep_id").alias("id1"),
+        F.greatest("doc_id", "keep_id").alias("id2"),
+    )
+    missed = exact_pairs.join(dups, ["id1", "id2"], "left_anti").count()
+    assert missed == 0
+
+
+def test_simhash_identical_docs_zero_hamming(spark, documents, docs):
+    dups = D.simhash_duplicates(documents)
+    exact = D.exact_duplicates(docs).filter(F.col("doc_id") != F.col("keep_id"))
+    exact_pairs = exact.select(
+        F.least("doc_id", "keep_id").alias("id1"),
+        F.greatest("doc_id", "keep_id").alias("id2"),
+    )
+    joined = exact_pairs.join(dups, ["id1", "id2"])
+    assert joined.filter(F.col("hamming") != 0).count() == 0
+    assert joined.count() == exact_pairs.count()
+
+
+def test_ngram_jaccard_self_consistency(spark, documents):
+    dups = D.ngram_jaccard_duplicates(documents, n=3, threshold=0.5)
+    assert dups.filter(F.col("ngram_jaccard") > 1.0).count() == 0
+    assert dups.filter(F.col("id1") >= F.col("id2")).count() == 0
+
+
+def test_embedding_cosine_dups_brute_vs_bucketed(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200).cache()
+    brute = D.embedding_cosine_duplicates(emb, threshold=0.9).cache()
+    bucketed = D.embedding_cosine_duplicates(emb, threshold=0.9, bucketed=True)
+    # bucketed results must be a subset of brute-force results
+    extra = bucketed.select("id1", "id2").exceptAll(brute.select("id1", "id2"))
+    assert extra.count() == 0

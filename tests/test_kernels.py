@@ -1,0 +1,140 @@
+"""String-similarity kernel golden tests.
+
+Pins the NumPy batch kernels to:
+1. classic published Jaro/JW values,
+2. DuckDB's independent implementations (property-ish, random strings),
+3. the REFERENCE's own soft-TF-IDF golden fixture
+   (/root/reference/tests/test_core.py:100-114,151-167): corpus
+   ['a aa','b ab','a ba','b bb'], pairwise sims 0.90/0.73/0.00/0.68/0.73/0.90.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entityresolution_capstone_spark.functions.similarity import (
+    jaro_batch,
+    jaro_winkler_batch,
+    levenshtein_batch,
+    make_pair_sim_udf,
+    scaled_levenshtein_batch,
+)
+from entityresolution_capstone_spark.functions.tfidf import soft_tfidf_raw
+
+
+def k(f, a, b, **kw):
+    return float(f(np.array([a], dtype=object), np.array([b], dtype=object), **kw)[0])
+
+
+def test_jaro_known_values():
+    assert round(k(jaro_batch, "martha", "marhta"), 6) == 0.944444
+    assert round(k(jaro_batch, "dwayne", "duane"), 6) == 0.822222
+    assert round(k(jaro_batch, "dixon", "dicksonx"), 6) == 0.766667
+    assert k(jaro_batch, "", "") == 1.0
+    assert k(jaro_batch, "", "a") == 0.0
+    assert k(jaro_batch, "abc", "abc") == 1.0
+
+
+def test_jaro_winkler_unconditional_boost():
+    # py_stringmatching applies the prefix boost with no 0.7 threshold;
+    # jaro('aa','ab')=2/3 < 0.7 yet JW must be 0.7 (required by the reference's
+    # soft-tfidf golden score 0.90 for 'a aa' vs 'b ab').
+    assert round(k(jaro_winkler_batch, "aa", "ab"), 6) == 0.7
+    assert round(k(jaro_winkler_batch, "martha", "marhta"), 6) == 0.961111
+
+
+def test_levenshtein_known_values():
+    assert k(levenshtein_batch, "kitten", "sitting") == 3
+    assert k(levenshtein_batch, "", "abc") == 3
+    assert k(levenshtein_batch, "abc", "") == 3
+    assert k(scaled_levenshtein_batch, "", "") == 1.0
+    assert round(k(scaled_levenshtein_batch, "kitten", "sitting"), 6) == round(
+        1 - 3 / 7, 6
+    )
+
+
+def _jaro_scalar(s1: str, s2: str) -> float:
+    """Textbook greedy Jaro (the py_stringmatching algorithm), scalar form.
+
+    Used as an independent in-test oracle for the batch kernel. NOTE: DuckDB's
+    jaro_similarity uses a different matching variant that diverges on some
+    unequal-length inputs, so it is NOT a valid oracle for Jaro — only for
+    Levenshtein.
+    """
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 and l2 == 0:
+        return 1.0
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    w = max(max(l1, l2) // 2 - 1, 0)
+    f1, f2 = [False] * l1, [False] * l2
+    m = 0
+    for i in range(l1):
+        for j in range(max(0, i - w), min(l2 - 1, i + w) + 1):
+            if not f2[j] and s2[j] == s1[i]:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    a = [c for i, c in enumerate(s1) if f1[i]]
+    b = [c for j, c in enumerate(s2) if f2[j]]
+    t = sum(1 for x, y in zip(a, b) if x != y) / 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcdez ", max_size=12),
+    st.text(alphabet="abcdez ", max_size=12),
+)
+def test_jaro_matches_scalar_and_lev_matches_duckdb(s1, s2):
+    got_j = k(jaro_batch, s1, s2)
+    got_l = k(levenshtein_batch, s1, s2)
+    assert abs(got_j - _jaro_scalar(s1, s2)) < 1e-12, (s1, s2)
+    (dl,) = duckdb.execute("select levenshtein(?, ?)", [s1, s2]).fetchone()
+    assert got_l == dl, (s1, s2)
+
+
+REF_CORPUS = [["a", "aa"], ["b", "ab"], ["a", "ba"], ["b", "bb"]]
+REF_DF = {"a": 2, "aa": 1, "b": 2, "ab": 1, "ba": 1, "bb": 1}
+REF_GOLDEN = {
+    (0, 1): 0.90,
+    (0, 2): 0.73,
+    (0, 3): 0.00,
+    (1, 2): 0.68,
+    (1, 3): 0.73,
+    (2, 3): 0.90,
+}
+
+
+def test_soft_tfidf_reference_golden():
+    for (i, j), want in REF_GOLDEN.items():
+        s1 = soft_tfidf_raw(REF_CORPUS[i], REF_CORPUS[j], REF_DF, 4)
+        s2 = soft_tfidf_raw(REF_CORPUS[j], REF_CORPUS[i], REF_DF, 4)
+        assert round(max(s1, s2), 2) == want, (i, j)
+
+
+def test_soft_tfidf_udf_matches_raw(spark):
+    from entityresolution_capstone_spark.functions.tfidf import make_soft_tfidf_udf
+
+    bc = spark.sparkContext.broadcast(REF_DF)
+    udf = make_soft_tfidf_udf(bc, 4)
+    rows = [(REF_CORPUS[i], REF_CORPUS[j]) for (i, j) in REF_GOLDEN]
+    df = spark.createDataFrame(rows, ["t1", "t2"])
+    got = [r["s"] for r in df.select(udf("t1", "t2").alias("s")).collect()]
+    for g, (pair, want) in zip(got, REF_GOLDEN.items()):
+        assert round(g, 2) == want, pair
+
+
+def test_pair_sim_udf_on_spark(spark):
+    udf = make_pair_sim_udf("jaro_winkler")
+    df = spark.createDataFrame(
+        [("martha", "marhta"), ("aa", "ab"), (None, "x")], ["a", "b"]
+    )
+    got = [r["s"] for r in df.select(udf("a", "b").alias("s")).collect()]
+    assert round(got[0], 6) == 0.961111
+    assert round(got[1], 6) == 0.7
+    assert got[2] is None

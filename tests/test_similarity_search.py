@@ -1,0 +1,70 @@
+"""Similarity search: exact top-k vs DuckDB; ANN recall vs brute force."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from entityresolution_capstone_spark.operators import similarity_search as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.filter(F.col("vec_id") < 5)
+
+
+def test_brute_force_topk_matches_duckdb(spark, embeddings, queries):
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 6))
+        for r in S.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    want = duckdb.sql(
+        f"""
+        with v as (select vec_id, embedding::DOUBLE[] e from '{SF_DIR}/embeddings.parquet'),
+        q as (select * from v where vec_id < 5),
+        dots as (
+          select q.vec_id qid, v.vec_id nid,
+                 list_dot_product(q.e, v.e) /
+                 (sqrt(list_dot_product(q.e,q.e)) * sqrt(list_dot_product(v.e,v.e))) cos
+          from q, v where q.vec_id <> v.vec_id
+        ),
+        ranked as (
+          select qid, nid, cos,
+                 row_number() over (partition by qid order by cos desc, nid asc) rk
+          from dots
+        )
+        select qid, rk, nid, round(cos, 6) from ranked where rk <= 5
+        """
+    ).fetchall()
+    for qid, rk, nid, cos in want:
+        g_nid, g_cos = got[(qid, rk)]
+        assert g_nid == nid, (qid, rk)
+        assert abs(g_cos - cos) < 1e-5, (qid, rk)
+
+
+def test_ann_recall_reasonable(spark, embeddings, queries):
+    k = 10
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(embeddings, queries, k=k).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk(embeddings, queries, k=k, n_planes=4).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    # 4 planes -> 16 buckets over 500 vectors; hyperplane LSH on random data
+    # is approximate — just require material overlap and full determinism
+    assert recall >= 0.2, recall
+
+
+def test_lsh_buckets_deterministic(spark, embeddings):
+    b1 = sorted(S.lsh_bucket_keys(embeddings).collect())
+    b2 = sorted(S.lsh_bucket_keys(embeddings.repartition(5)).collect())
+    assert b1 == b2

@@ -1,0 +1,66 @@
+"""Text-analysis operators over the documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entityresolution_capstone_spark.operators import textstats as TS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_language_id_english_sentence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house in the garden"),
+            (2, "der Hund ist nicht mit der Katze und das ist gut"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in TS.language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "unknown"
+
+
+def test_quality_scores_bounds_and_signal(spark, documents):
+    q = TS.quality_scores(documents)
+    assert q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    row = TS.quality_scores(
+        spark.createDataFrame(
+            [(1, "the cat is in the house and it is warm for the winter season now"),
+             (2, "!!!! ???? 12345 @@@@")],
+            ["doc_id", "text"],
+        )
+    ).collect()
+    by_id = {r["doc_id"]: r["quality"] for r in row}
+    assert by_id[1] > by_id[2]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello worldly supercalifragilistic a")], ["doc_id", "text"])
+    r = TS.token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # ceil(5/4)+ceil(7/4)+ceil(20/4)+ceil(1/4) = 2+2+5+1
+    assert r["subword_est"] == 10
+
+
+def test_fingerprints_order_sensitive_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta alpha gamma"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in TS.doc_fingerprints(df).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+
+
+def test_fingerprints_stable_across_partitioning(spark, documents):
+    f1 = sorted(TS.doc_fingerprints(documents).collect())
+    f2 = sorted(TS.doc_fingerprints(documents.repartition(7)).collect())
+    assert f1 == f2

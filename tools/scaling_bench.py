@@ -1,0 +1,119 @@
+"""Two-parallelism-level scaling evidence (N vs 4N cores).
+
+The north rule's two-cluster-size criterion can't use a real multi-node
+cluster in this sandbox; per the task directive it is evidenced by running the
+IDENTICAL job at two local parallelism levels on the same input and reporting
+throughput at both plus scaling efficiency = throughput_4N / (4 * throughput_N).
+
+Each level runs in a fresh subprocess via spark-submit --py-files (the launch
+mode the north rule names), so JVM sizing/scheduling is per-level clean.
+
+Usage: python tools/scaling_bench.py [sf_dir] [N]   (default sf0.1, N=8)
+Writes BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip() -> str:
+    """Package the library for --py-files (the real cluster submission path)."""
+    out = os.path.join(tempfile.gettempdir(), "ercs_pipeline.zip")
+    pkg = os.path.join(REPO, "entityresolution_capstone_spark")
+    with zipfile.ZipFile(out, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return out
+
+
+def run_level(cpus: int, sf_dir: str, pyfiles: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit:
+        cmd = [
+            spark_submit,
+            "--master", f"local[{cpus}]",
+            "--py-files", pyfiles,
+            "--conf", f"spark.sql.shuffle.partitions={cpus}",
+            os.path.join(REPO, "bench.py"),
+        ]
+    else:  # fall back to plain python (same code path; bench builds the session)
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    out = subprocess.run(
+        cmd, env=env, cwd=REPO, capture_output=True, text=True, timeout=3600
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from bench at local[{cpus}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    pyfiles = make_pyfiles_zip()
+
+    r_n = run_level(n, sf_dir, pyfiles)
+    r_4n = run_level(4 * n, sf_dir, pyfiles)
+
+    thr_n = r_n["value"]
+    thr_4n = r_4n["value"]
+    eff = thr_4n / (4 * thr_n) if thr_n else 0.0
+
+    summary = {
+        "sf_dir": sf_dir,
+        "N": n,
+        "throughput_N": thr_n,
+        "throughput_4N": thr_4n,
+        "scaling_efficiency": round(eff, 3),
+        "bench_N": r_n,
+        "bench_4N": r_4n,
+    }
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH baseline — scaling evidence (N vs 4N parallelism)
+
+Identical job (bench.py headline queries) on identical input (`{sf_dir}`),
+run via spark-submit --py-files at two parallelism levels. Throughput metric:
+candidate-pairs-scored/sec (blocking + Levenshtein+TF-IDF scoring).
+
+| level | cores | pairs scored | wall (s) | pairs/sec |
+|---|---|---|---|---|
+| N  | {n}  | {r_n['rows']['q_score']} | {r_n['queries']['q_score']} | {thr_n} |
+| 4N | {4*n} | {r_4n['rows']['q_score']} | {r_4n['queries']['q_score']} | {thr_4n} |
+
+**Scaling efficiency** `throughput_4N / (4 x throughput_N)` = **{eff:.3f}**
+(target >= 0.8 per BASELINE.json).
+
+Per-query wall seconds:
+
+| query | local[{n}] | local[{4*n}] |
+|---|---|---|
+""" + "\n".join(
+                f"| {q} | {r_n['queries'][q]} | {r_4n['queries'][q]} |"
+                for q in r_n["queries"]
+            )
+            + "\n"
+        )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
