@@ -94,6 +94,11 @@ def main():
         app_name="ercs-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf={
+            # only effective when this process starts the JVM (plain `python
+            # bench.py`); under spark-submit, --driver-memory governs
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     result = run(spark, sf_dir)

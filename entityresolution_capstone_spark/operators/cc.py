@@ -88,6 +88,9 @@ def connected_components(
         .filter(F.col("id1") != F.col("id2"))
         .distinct()
     )
+    # materialize the input once: each round reads `cur` from several branches
+    # (groupBy + join on both sides of the self-join)
+    cur = cur.checkpoint(eager=True) if checkpoint else cur.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iterations):
         cur = _small_star(_sym(_large_star(_sym(cur))))

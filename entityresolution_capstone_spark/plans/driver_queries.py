@@ -441,8 +441,17 @@ edges as (
 
 def q_er_clusters(spark, sf_dir):
     """Full pipeline: minhash blocking -> lev+tfidf scoring -> threshold +
-    exact-match seed edges -> large-star/small-star connected components."""
+    exact-match seed edges -> large-star/small-star connected components.
+
+    ``docs`` and the thresholded edge set are persisted: docs feed four
+    branches (scoring features, TF-IDF vectors, exact-match bootstrap, final
+    assignment) and the edges feed the iterative CC driver loop — without
+    persistence each branch re-runs the whole upstream DAG. In the committed
+    Pipeline (plans/pipeline.py) the same role is played by the stage tables.
+    """
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    docs = docs.persist()
+    dft = dft.persist()
     pairs = B.candidate_pairs(blocks, ER_BLOCKING)
     n = docs.count()
     scored = score_pairs(
@@ -460,7 +469,11 @@ def q_er_clusters(spark, sf_dir):
         .unionByName(exact_match_edges(docs, ["doc"]))
         .distinct()
     )
-    return assign_clusters(docs, connected_components(edges, checkpoint=False))
+    out = assign_clusters(docs, connected_components(edges, checkpoint=False))
+    out = out.localCheckpoint(eager=True)
+    docs.unpersist()
+    dft.unpersist()
+    return out
 
 
 SQL_ER_CLUSTERS = (

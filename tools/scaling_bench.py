@@ -43,10 +43,12 @@ def run_level(cpus: int, sf_dir: str, pyfiles: str) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     spark_submit = shutil.which("spark-submit")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     if spark_submit:
         cmd = [
             spark_submit,
             "--master", f"local[{cpus}]",
+            "--driver-memory", mem,
             "--py-files", pyfiles,
             "--conf", f"spark.sql.shuffle.partitions={cpus}",
             os.path.join(REPO, "bench.py"),
