@@ -42,21 +42,48 @@ def run(spark, sf_dir: str) -> dict:
         counts[name] = n
         return n
 
-    # q_score: blocking + pair scoring (lev + tfidf), counting scored pairs
+    # q_score: blocking + pair scoring over the FULL candidate set (hot blocks
+    # routed through the salted sub-bucket join instead of being dropped) with
+    # the complete kernel stack: Jaro-Winkler (vectorized pandas UDF) +
+    # scaled Levenshtein + TF-IDF cosine on a 128-char prefix. This is the
+    # north-rule throughput metric: candidate-pairs-scored/sec.
+    BENCH_BLOCKING = DQ.B.BlockingConfig(
+        use_token_keys=False,
+        use_minhash=True,
+        minhash_rows=4,
+        minhash_bands=4,
+        seed=7,
+        max_block_size=5000,
+        salt_block_size=400,
+        salt_factor=8,
+    )
+    BENCH_PREFIX = 128
+
     def score_only():
-        _, docs, dft, tdict, blocks = DQ._er_blocks(spark, sf_dir)
-        docs = docs.persist()
-        pairs = DQ.B.candidate_pairs(blocks, DQ.ER_BLOCKING)
+        from entityresolution_capstone_spark.functions.tfidf import doc_frequencies
+        from entityresolution_capstone_spark.operators.canonicalize import canonical_docs
+
+        t = DQ.derive_transcripts(spark, sf_dir)
+        docs = canonical_docs(t, prefix_len=BENCH_PREFIX).persist()
+        dft = doc_frequencies(docs).persist()
+        tdict = DQ.B.token_dictionary(dft)
+        blocks = DQ.B.build_blocks(docs, tdict, BENCH_BLOCKING).persist()
+        pairs = DQ.B.candidate_pairs(blocks, BENCH_BLOCKING)
         n = docs.count()
         scored = DQ.score_pairs(
             pairs,
             docs,
-            DQ.ScoringConfig(weights=dict(DQ.ER_WEIGHTS), prefix_len=DQ.PREFIX),
+            DQ.ScoringConfig(
+                weights={"jw": 0.3, "lev": 0.2, "tfidf": 0.5},
+                prefix_len=BENCH_PREFIX,
+            ),
             df_table=dft,
             corpus_size=n,
         )
         out = scored.count()
         docs.unpersist()
+        dft.unpersist()
+        blocks.unpersist()
         return out
 
     timed("q_score", score_only)

@@ -218,3 +218,52 @@ def v_measure_score(
         (1 + beta) * homogeneity * completeness
         / (beta * homogeneity + completeness)
     )
+
+
+def precision_recall_sweep(
+    scored_pairs: DataFrame,
+    labels: DataFrame,
+    thresholds: list[float],
+    id1: str = "id1",
+    id2: str = "id2",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Pair-level precision/recall at K thresholds from ONE scored-pairs pass.
+
+    The reference samples a precision-recall curve by re-evaluating mid-
+    clustering every ``len(pqueue)//1600`` merges (resolver.py:523-526,
+    695-712) — inherently sequential. The distributed equivalent: for each
+    threshold θ, a predicted match is a pair with sim >= θ, so P/R at every θ
+    come from K conditional aggregations over one table scan.
+
+    Returns (threshold, tp, fp, fn, precision, recall) with recall relative to
+    labeled matches within the candidate-pair universe.
+    """
+    l1 = labels.select(
+        F.col("conv_id").alias(id1), F.col("entity_id").alias("_e1")
+    )
+    l2 = labels.select(
+        F.col("conv_id").alias(id2), F.col("entity_id").alias("_e2")
+    )
+    j = scored_pairs.join(l1, id1).join(l2, id2).select(
+        (F.col("_e1") == F.col("_e2")).alias("m"), F.col(sim_col).alias("s")
+    )
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col("s") >= F.lit(float(t))
+        aggs += [
+            F.sum(F.when(pred & F.col("m"), 1).otherwise(0)).alias(f"tp{i}"),
+            F.sum(F.when(pred & ~F.col("m"), 1).otherwise(0)).alias(f"fp{i}"),
+            F.sum(F.when(~pred & F.col("m"), 1).otherwise(0)).alias(f"fn{i}"),
+        ]
+    row = j.agg(*aggs).collect()[0]
+    out = []
+    for i, t in enumerate(thresholds):
+        tp, fp, fn = row[f"tp{i}"] or 0, row[f"fp{i}"] or 0, row[f"fn{i}"] or 0
+        p = tp / (tp + fp) if tp + fp else 1.0
+        r = tp / (tp + fn) if tp + fn else 1.0
+        out.append((float(t), int(tp), int(fp), int(fn), p, r))
+    spark = scored_pairs.sparkSession
+    return spark.createDataFrame(
+        out, "threshold double, tp long, fp long, fn long, precision double, recall double"
+    )

@@ -44,6 +44,10 @@ class BlockingConfig:
     minhash_bands: int = 8        # b: number of bands
     seed: int = 7
     max_block_size: int = 200     # drop larger blocks (reported)
+    salt_block_size: int = 0      # >0: blocks in (salt_block_size,
+                                  # max_block_size] enumerate pairs via the
+                                  # salted sub-bucket join instead of one task
+    salt_factor: int = 8          # sub-buckets per salted block
 
 
 def _hash_params(n: int, seed: int) -> list[tuple[int, int]]:
@@ -166,10 +170,19 @@ def candidate_pairs(
 ) -> DataFrame:
     """Self-join blocks on block_key -> distinct unordered pairs (id1 < id2).
 
-    Hot blocks beyond ``max_block_size`` are excluded before the join (their
-    accounting lives in :func:`block_size_metrics`). The join input is
-    explicitly repartitioned on the key so the shuffle lands once; pair dedup
-    across keys is a distinct on (id1, id2).
+    Skew handling, explicitly (north rule):
+    - blocks larger than ``max_block_size`` are excluded before the join
+      (accounting in :func:`block_size_metrics`);
+    - with ``salt_block_size > 0``, blocks in (salt_block_size,
+      max_block_size] go through :func:`salted_pairs`: members are hashed into
+      ``salt_factor`` sub-buckets and pairs enumerated per sub-bucket pair
+      (composite join key (block, i, j)), so one hot key becomes
+      C(g+1, 2) evenly-sized tasks instead of one O(s²) straggler;
+    - the join input is explicitly repartitioned on the key so the shuffle
+      lands once; AQE skew-join splits any residual imbalance.
+
+    Pair dedup across keys is a distinct on (id1, id2) — one shuffle that also
+    co-locates pairs for every downstream per-pair join.
     """
     cfg = cfg or BlockingConfig()
     sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_sz"))
@@ -178,13 +191,70 @@ def candidate_pairs(
         "block_key",
         "left_anti",
     )
+    parts = []
+    if cfg.salt_block_size and cfg.salt_block_size < cfg.max_block_size:
+        hot = F.broadcast(
+            sizes.filter(
+                (F.col("_sz") > cfg.salt_block_size)
+                & (F.col("_sz") <= cfg.max_block_size)
+            ).select("block_key")
+        )
+        salted = kept.join(hot, "block_key", "left_semi")
+        kept = kept.join(hot, "block_key", "left_anti")
+        parts.append(salted_pairs(salted, cfg.salt_factor))
     if shuffle_partitions:
         kept = kept.repartition(shuffle_partitions, "block_key")
     a = kept.select(F.col("block_key"), F.col("conv_id").alias("id1"))
     b = kept.select(F.col("block_key"), F.col("conv_id").alias("id2"))
+    parts.append(
+        a.join(b, "block_key").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def salted_pairs(blocks: DataFrame, g: int) -> DataFrame:
+    """Pair enumeration for hot blocks via salted sub-buckets.
+
+    Each member lands in sub-bucket ``s = pmod(xxhash64(id), g)`` and is
+    replicated to every composite key (block, i, j) with i <= j where i == s
+    or j == s. The self-join then runs on (block_key, i, j): within-bucket
+    pairs come from i == j keys, cross-bucket pairs from i < j keys. Work per
+    task is O((block/g)²) — the skew is sliced, not suffered. Replication
+    factor is g per row (the standard skew-join space/parallelism trade).
+    """
+    m = blocks.withColumn("_s", F.pmod(F.xxhash64("conv_id"), F.lit(g)).cast("int"))
+    pairs_ij = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for i in range(g)
+            for j in range(i, g)
+        ]
+    )
+    exploded = m.select(
+        "block_key", "conv_id", "_s", F.explode(pairs_ij).alias("ij")
+    ).filter((F.col("ij.i") == F.col("_s")) | (F.col("ij.j") == F.col("_s")))
+    a = exploded.select(
+        "block_key", "ij", F.col("conv_id").alias("_a"), F.col("_s").alias("_sa")
+    )
+    b = exploded.select(
+        "block_key", "ij", F.col("conv_id").alias("_b"), F.col("_s").alias("_sb")
+    )
+    joined = a.join(b, ["block_key", "ij"]).filter(
+        (F.col("_sa") == F.col("ij.i")) & (F.col("_sb") == F.col("ij.j"))
+    )
+    # i == j: same sub-bucket, order within; i < j: buckets are disjoint, so
+    # emit every combo once as (least, greatest) — id order and bucket order
+    # are independent, requiring _a < _b here would silently drop pairs.
+    within = joined.filter(
+        (F.col("ij.i") == F.col("ij.j")) & (F.col("_a") < F.col("_b"))
+    )
+    across = joined.filter(F.col("ij.i") < F.col("ij.j"))
     return (
-        a.join(b, "block_key")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+        within.unionByName(across)
+        .select(
+            F.least("_a", "_b").alias("id1"), F.greatest("_a", "_b").alias("id2")
+        )
     )

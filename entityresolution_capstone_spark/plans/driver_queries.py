@@ -198,10 +198,14 @@ cand_pairs as (
 
 def _er_blocks(spark: SparkSession, sf_dir: str):
     t = derive_transcripts(spark, sf_dir)
-    docs = canonical_docs(t, prefix_len=PREFIX)
+    # docs feed blocking + scoring features + bootstrap + assignment; blocks
+    # feed BOTH sides of the pair self-join — persist so the minhash
+    # aggregation tree runs once, not once per consumer (the committed
+    # Pipeline gets the same effect from its stage tables).
+    docs = canonical_docs(t, prefix_len=PREFIX).persist()
     dft = doc_frequencies(docs)
     tdict = B.token_dictionary(dft)
-    blocks = B.build_blocks(docs, tdict, ER_BLOCKING)
+    blocks = B.build_blocks(docs, tdict, ER_BLOCKING).persist()
     return t, docs, dft, tdict, blocks
 
 
@@ -450,7 +454,6 @@ def q_er_clusters(spark, sf_dir):
     Pipeline (plans/pipeline.py) the same role is played by the stage tables.
     """
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    docs = docs.persist()
     dft = dft.persist()
     pairs = B.candidate_pairs(blocks, ER_BLOCKING)
     n = docs.count()
@@ -473,6 +476,7 @@ def q_er_clusters(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     docs.unpersist()
     dft.unpersist()
+    blocks.unpersist()
     return out
 
 

@@ -1,0 +1,87 @@
+"""Scoring configurations beyond the default path: soft-TF-IDF kernel weights,
+relational mix-in (alpha > 0), and the jaccard kernel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entityresolution_capstone_spark import datagen
+from entityresolution_capstone_spark.functions import relational as R
+from entityresolution_capstone_spark.functions.tfidf import doc_frequencies
+from entityresolution_capstone_spark.operators import blocking as B
+from entityresolution_capstone_spark.operators import scoring as SC
+from entityresolution_capstone_spark.operators.canonicalize import canonical_docs
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    spec = datagen.CorpusSpec(n_entities=8, convs_per_entity=3, seed=41)
+    transcripts, labels = datagen.corpus_dataframes(spark, spec)
+    docs = canonical_docs(transcripts).persist()
+    dft = doc_frequencies(docs).persist()
+    tdict = B.token_dictionary(dft)
+    cfg = B.BlockingConfig()
+    pairs = B.candidate_pairs(B.build_blocks(docs, tdict, cfg), cfg).persist()
+    return docs, dft, pairs, labels
+
+
+def test_stfidf_scoring_path(spark, small):
+    docs, dft, pairs, _ = small
+    scored = SC.score_pairs(
+        pairs.limit(50),
+        docs,
+        SC.ScoringConfig(weights={"stfidf": 1.0}),
+        df_table=dft,
+        corpus_size=docs.count(),
+        spark=spark,
+    )
+    rows = scored.collect()
+    # soft-TF-IDF is NOT bounded by 1: the similarity map may pair a token
+    # with a different, higher-idf token, exceeding the plain-cosine bound
+    # (py_stringmatching behaves the same way). Identical docs score ~1.
+    assert all(0.0 <= r["stfidf"] < 2.0 for r in rows)
+    assert all(r["sim"] == r["attr_sim"] for r in rows)
+
+
+def test_jaccard_kernel_path(spark, small):
+    docs, dft, pairs, _ = small
+    scored = SC.score_pairs(
+        pairs.limit(50), docs, SC.ScoringConfig(weights={"jaccard": 1.0})
+    )
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in scored.collect())
+
+
+def test_alpha_relational_mix(spark, small):
+    """sim = (1-α)·attr + α·rel (resolver.py:970-986)."""
+    docs, dft, pairs, _ = small
+    # co-occurrence edges: consecutive convs share a hyper-edge
+    ids = [r["conv_id"] for r in docs.select("conv_id").orderBy("conv_id").collect()]
+    edges = spark.createDataFrame(
+        [(cid, i // 2) for i, cid in enumerate(ids)], ["conv_id", "edge_id"]
+    )
+    clusters = docs.select("conv_id", F.col("conv_id").alias("cluster_id"))
+    nbrs = R.cluster_neighbors(clusters, edges)
+    p = pairs.limit(30)
+    rel = R.rel_sim_pairs(
+        p.select(F.col("id1").alias("c1"), F.col("id2").alias("c2")),
+        nbrs,
+        "jaccard_coef",
+    )
+    scored = SC.score_pairs(
+        p,
+        docs,
+        SC.ScoringConfig(weights={"lev": 1.0}, alpha=0.5),
+        rel_scores=rel,
+    )
+    rel_map = {
+        (r["c1"], r["c2"]): r["rel_sim"] for r in rel.collect()
+    }
+    rows = scored.collect()
+    assert rows
+    for r in rows:
+        expected = 0.5 * r["attr_sim"] + 0.5 * rel_map.get((r["id1"], r["id2"]), 0.0)
+        assert r["sim"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_weights_must_sum_to_one():
+    with pytest.raises(ValueError):
+        SC.ScoringConfig(weights={"jw": 0.5, "lev": 0.2})
