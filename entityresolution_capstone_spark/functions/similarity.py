@@ -48,12 +48,32 @@ def _encode_batch(strings: np.ndarray, max_len: int) -> tuple[np.ndarray, np.nda
     return out, lens
 
 
+def _compact_codes(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Remap two codepoint matrices to uint8 when the batch vocabulary allows.
+
+    Every downstream operation is equality-only, so any injective remap is
+    exact; uint8 quarters the memory traffic of the O(L²) matching loops
+    (the kernels are bandwidth-bound at high worker counts).
+    """
+    uniq = np.unique(np.concatenate([a.ravel(), b.ravel()]))
+    if len(uniq) > 255:
+        return a, b
+    lut = np.zeros(int(uniq.max()) + 1, dtype=np.uint8)
+    lut[uniq] = np.arange(len(uniq), dtype=np.uint8)
+    return lut[a], lut[b]
+
+
 def jaro_batch(
     s1: np.ndarray, s2: np.ndarray, max_len: int = DEFAULT_MAX_LEN
 ) -> np.ndarray:
-    """Vectorized Jaro similarity over a batch of string pairs."""
+    """Vectorized Jaro similarity over a batch of string pairs.
+
+    Fast path: byte-identical pairs score 1.0 without entering the O(L²)
+    matching loop — near-duplicate corpora hit this constantly.
+    """
     a, la = _encode_batch(s1, max_len)
     b, lb = _encode_batch(s2, max_len)
+    a, b = _compact_codes(a, b)
     n = len(s1)
     lmax = int(max(la.max(initial=0), lb.max(initial=0)))
     if lmax == 0:
@@ -61,29 +81,40 @@ def jaro_batch(
         return np.where((la == 0) & (lb == 0), 1.0, 0.0)
     a, b = a[:, :lmax], b[:, :lmax]
 
+    equal = (la == lb) & (a == b).all(axis=1)
+    if equal.any():
+        out = np.ones(n, dtype=np.float64)
+        idx = ~equal
+        if idx.any():
+            out[idx] = jaro_batch(s1[idx], s2[idx], max_len=max_len)
+        return out
+
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
     matched_a = np.zeros((n, lmax), dtype=bool)
     matched_b = np.zeros((n, lmax), dtype=bool)
     cols = np.arange(lmax)[None, :]  # (1, L)
 
     # Greedy left-to-right matching: loop over source positions (bounded by
-    # max_len), vectorized across the batch and target positions.
+    # max_len), vectorized across the batch and target positions. Buffers are
+    # preallocated and updated in place — the loop is memory-bandwidth-bound,
+    # and temporary churn is what stops it scaling across many workers.
+    colmask = cols < lb[:, None]           # static: valid target positions
+    not_matched_b = np.ones((n, lmax), dtype=bool)
+    win = window[:, None]
+    tmp = np.empty((n, lmax), dtype=bool)
+    rows = np.arange(n)
     for i in range(lmax):
-        active = (i < la)[:, None]  # (N,1)
-        lo = (i - window)[:, None]
-        hi = (i + window)[:, None]
-        cand = (
-            active
-            & (cols >= lo)
-            & (cols <= hi)
-            & (cols < lb[:, None])
-            & ~matched_b
-            & (b == a[:, i][:, None])
-        )
-        has = cand.any(axis=1)
-        first = cand.argmax(axis=1)
-        matched_b[has, first[has]] = True
-        matched_a[has, i] = True
+        np.equal(b, a[:, i][:, None], out=tmp)
+        tmp &= colmask
+        tmp &= np.abs(cols - i) <= win
+        tmp &= not_matched_b
+        tmp[i >= la, :] = False
+        has = tmp.any(axis=1)
+        first = tmp.argmax(axis=1)
+        hit = rows[has]
+        matched_b[hit, first[has]] = True
+        not_matched_b[hit, first[has]] = False
+        matched_a[hit, i] = True
 
     m = matched_a.sum(axis=1).astype(np.float64)
 
@@ -130,9 +161,20 @@ def levenshtein_batch(
     """Vectorized Levenshtein distance (DP over positions, batch-vectorized)."""
     a, la = _encode_batch(s1, max_len)
     b, lb = _encode_batch(s2, max_len)
+    a, b = _compact_codes(a, b)
     n = len(s1)
     l1 = int(la.max(initial=0))
     l2 = int(lb.max(initial=0))
+
+    lm = max(l1, l2)
+    equal = (la == lb) & (a[:, :lm] == b[:, :lm]).all(axis=1) if lm else (la == lb)
+    if equal.any():
+        out = np.zeros(n, dtype=np.float64)
+        idx = ~equal
+        if idx.any():
+            out[idx] = levenshtein_batch(s1[idx], s2[idx], max_len=max_len)
+        return out
+
     # dp rows over s2, iterate chars of s1; vectorized across batch
     prev = np.tile(np.arange(l2 + 1, dtype=np.int64), (n, 1))
     # cells beyond each string's own length are clamped at the end
@@ -170,6 +212,11 @@ def scaled_levenshtein_batch(
 # pandas UDF wrappers (Arrow-batched; the Column-level API the operators use)
 # ---------------------------------------------------------------------------
 
+KERNEL_CHUNK = 4096  # rows per internal slice: keeps the (chunk x L) working
+# set inside the per-core L3 share so 32 concurrent workers don't fight for
+# DRAM bandwidth (the scaling-efficiency killer), regardless of Arrow batch size
+
+
 def make_pair_sim_udf(kind: str = "jaro_winkler", max_len: int = DEFAULT_MAX_LEN):
     """Return a pandas UDF Column fn (col1, col2) -> double for the given kernel."""
     kernels = {
@@ -186,7 +233,11 @@ def make_pair_sim_udf(kind: str = "jaro_winkler", max_len: int = DEFAULT_MAX_LEN
         null = pd.isna(s1) | pd.isna(s2)
         x = np.where(pd.isna(s1), "", x)
         y = np.where(pd.isna(s2), "", y)
-        out = kernel(x, y)
+        n = len(x)
+        out = np.empty(n, dtype=np.float64)
+        for lo in range(0, n, KERNEL_CHUNK):
+            hi = min(lo + KERNEL_CHUNK, n)
+            out[lo:hi] = kernel(x[lo:hi], y[lo:hi])
         res = pd.Series(out)
         res[null.to_numpy()] = None
         return res

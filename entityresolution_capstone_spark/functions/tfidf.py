@@ -90,8 +90,8 @@ def tfidf_cosine_pairs(
         .groupBy(id1, id2)
         .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
     )
-    n1 = norms.select(F.col("conv_id").alias(id1), F.col("norm").alias("norm1"))
-    n2 = norms.select(F.col("conv_id").alias(id2), F.col("norm").alias("norm2"))
+    n1 = F.broadcast(norms.select(F.col("conv_id").alias(id1), F.col("norm").alias("norm1")))
+    n2 = F.broadcast(norms.select(F.col("conv_id").alias(id2), F.col("norm").alias("norm2")))
     return (
         pairs.join(dots, [id1, id2], "left")
         .join(n1, id1)

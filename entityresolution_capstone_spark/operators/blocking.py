@@ -11,6 +11,11 @@ equivalent is *equality blocking keys* + a self-join per key:
   min-aggregated per hash, banded (r rows/band) so two docs collide on a band
   key with probability ``1 - (1 - j^r)^b`` for Jaccard similarity j.
 
+The design follows the meta-blocking lineage of distributed ER systems (cf.
+SparkER, EDBT 2019 — PAPERS.md): blocking as data-parallel key generation +
+equality joins, with explicit block-size accounting instead of trusting the
+key distribution.
+
 Skew handling is explicit (north rule): block sizes are computed first; blocks
 larger than ``max_block_size`` are dropped and *reported* (dropped-block
 metrics), since a hot token (stopword-like) generates O(s²) candidate pairs for

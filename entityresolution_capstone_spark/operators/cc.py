@@ -2,9 +2,10 @@
 
 Replaces the reference's driver-side agglomerative loop + indexed heap
 (/root/reference/src/entity_resolver/core/resolver.py:506-555, utils.py:923-1085)
-with the map-reduce connected-components algorithm of Kiveris et al.,
-"Connected Components in MapReduce and Beyond" (SoCC'14) — the algorithm the
-north rule names. With the reference's default α=0 (attribute-only scoring,
+with the large-star/small-star map-reduce connected-components algorithm
+(Rastogi, Machanavajjhala, Chitnis & Das Sarma, "Finding Connected Components
+in Map-Reduce in Logarithmic Rounds", ICDE 2013 — PAPERS.md) — the algorithm
+the north rule names. With the reference's default α=0 (attribute-only scoring,
 resolver.py:236) thresholded-pairs + transitive closure is semantically
 equivalent to max-linkage agglomerative merging with a similarity threshold:
 max-linkage merges exactly the transitive closure of node pairs ≥ θ.

@@ -61,6 +61,87 @@ def pair_features(pairs: DataFrame, docs: DataFrame, cols: list[str]) -> DataFra
     return pairs.join(d1, "id1").join(d2, "id2")
 
 
+def score_pairs_slim(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: ScoringConfig | None = None,
+    df_table: DataFrame | None = None,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """(id1, id2) -> (id1, id2, attr_sim): the shuffle-minimal scoring plan.
+
+    Numerically identical to :func:`score_pairs`'s ``attr_sim`` (the weighted
+    partials are summed per pair; FP addition of the two partials is
+    commutative, so grouping order cannot change the value), but instead of
+    sort-merge-joining two wide 10^6-row tables it unions SKINNY per-pair
+    partial rows (2 ids + 1 double) and does ONE groupBy-sum:
+
+    - char kernels (jw/jaro/lev) ride the pair⋈prefix join -> one partial row
+      per pair;
+    - TF-IDF cosine rides the explode⋈DF join -> at most one partial row per
+      pair (absent when no shared token == cosine 0).
+
+    This is the hot path for clustering/bench where only ``sim`` matters.
+    """
+    cfg = cfg or ScoringConfig()
+    char_kernels = [k for k in cfg.weights if k in ("jw", "jaro", "lev")]
+    parts: list[DataFrame] = []
+    if char_kernels:
+        feat = pair_features(pairs, docs, ["doc_prefix"])
+        expr = None
+        for k in char_kernels:
+            if k == "lev":
+                col = scaled_levenshtein_col(
+                    F.col("doc_prefix_1"), F.col("doc_prefix_2"), max_len=cfg.prefix_len
+                )
+            else:
+                udf = make_pair_sim_udf(
+                    "jaro_winkler" if k == "jw" else "jaro", max_len=cfg.prefix_len
+                )
+                col = udf(F.col("doc_prefix_1"), F.col("doc_prefix_2"))
+            term = F.lit(cfg.weights[k]) * col
+            expr = term if expr is None else expr + term
+        parts.append(feat.select("id1", "id2", expr.alias("partial")))
+    if "tfidf" in cfg.weights:
+        if df_table is None or corpus_size is None:
+            raise ValueError("tfidf kernel needs df_table + corpus_size")
+        # per-doc tables: tiny next to the pair table; persisted because the
+        # plan reads vectors twice and the two norm broadcasts would otherwise
+        # re-run the whole explode+join chain each
+        vectors = tfidf_mod.tfidf_vectors(docs, df_table, corpus_size).persist()
+        norms = tfidf_mod.tfidf_norms(vectors).persist()
+        v1 = vectors.select(F.col("conv_id").alias("id1"), "token", F.col("w").alias("w1"))
+        v2 = vectors.select(F.col("conv_id").alias("id2"), "token", F.col("w").alias("w2"))
+        dots = (
+            pairs.join(v1, "id1")
+            .join(v2, ["id2", "token"])
+            .groupBy("id1", "id2")
+            .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+        )
+        n1 = F.broadcast(norms.select(F.col("conv_id").alias("id1"), F.col("norm").alias("n1")))
+        n2 = F.broadcast(norms.select(F.col("conv_id").alias("id2"), F.col("norm").alias("n2")))
+        cos = (
+            dots.join(n1, "id1")
+            .join(n2, "id2")
+            .select(
+                "id1",
+                "id2",
+                (
+                    F.lit(cfg.weights["tfidf"])
+                    * F.when((F.col("n1") > 0) & (F.col("n2") > 0), F.col("dot") / (F.col("n1") * F.col("n2"))).otherwise(0.0)
+                ).alias("partial"),
+            )
+        )
+        parts.append(cos)
+    unsupported = set(cfg.weights) - set(char_kernels) - {"tfidf"}
+    if unsupported:
+        raise ValueError(f"score_pairs_slim does not support kernels: {unsupported}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("id1", "id2").agg(F.sum("partial").alias("attr_sim"))
+
+
 def score_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -72,7 +153,10 @@ def score_pairs(
 ) -> DataFrame:
     """(id1, id2) -> (id1, id2, <kernel cols>, attr_sim, sim)."""
     cfg = cfg or ScoringConfig()
-    need_tokens = any(k in cfg.weights for k in ("tfidf", "stfidf", "jaccard"))
+    # tfidf deliberately NOT here: its cosine rides the explode+join path in
+    # tfidf_cosine_pairs — attaching token arrays to millions of pair rows
+    # would dominate the stage for no reason (measured 10x on the bench).
+    need_tokens = any(k in cfg.weights for k in ("stfidf", "jaccard"))
     need_prefix = any(k in cfg.weights for k in ("jw", "jaro", "lev"))
     cols = (["doc_prefix"] if need_prefix else []) + (["tokens"] if need_tokens else [])
     feat = pair_features(pairs, docs, cols)

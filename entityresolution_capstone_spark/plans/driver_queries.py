@@ -31,7 +31,7 @@ from ..operators import similarity_search as S
 from ..operators import textstats as TS
 from ..operators.canonicalize import canonical_docs
 from ..operators.cc import assign_clusters, connected_components
-from ..operators.scoring import ScoringConfig, score_pairs
+from ..operators.scoring import ScoringConfig, score_pairs, score_pairs_slim
 
 MERSENNE_P = 2147483647
 TURN_TOKENS = 8
@@ -457,7 +457,7 @@ def q_er_clusters(spark, sf_dir):
     dft = dft.persist()
     pairs = B.candidate_pairs(blocks, ER_BLOCKING)
     n = docs.count()
-    scored = score_pairs(
+    scored = score_pairs_slim(
         pairs,
         docs,
         ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
@@ -467,7 +467,7 @@ def q_er_clusters(spark, sf_dir):
     from ..operators.bootstrap import exact_match_edges
 
     edges = (
-        scored.filter(F.col("sim") >= ER_THRESHOLD)
+        scored.filter(F.col("attr_sim") >= ER_THRESHOLD)
         .select("id1", "id2")
         .unionByName(exact_match_edges(docs, ["doc"]))
         .distinct()
