@@ -94,7 +94,10 @@ def main():
 
 Identical job (bench.py headline queries) on identical input (`{sf_dir}`),
 run via spark-submit --py-files at two parallelism levels. Throughput metric:
-candidate-pairs-scored/sec (blocking + Levenshtein+TF-IDF scoring).
+candidate-pairs-scored/sec — the q_score stage scores the full salted
+candidate set with the complete kernel stack (vectorized Jaro-Winkler pandas
+UDF + JVM scaled-Levenshtein + TF-IDF cosine, 128-char prefixes); blocking /
+pair generation is reported separately as q_block.
 
 | level | cores | pairs scored | wall (s) | pairs/sec |
 |---|---|---|---|---|
