@@ -267,3 +267,55 @@ def precision_recall_sweep(
     return spark.createDataFrame(
         out, "threshold double, tp long, fp long, fn long, precision double, recall double"
     )
+
+
+def evaluate(
+    labels: DataFrame,
+    preds: DataFrame,
+    strategy="precision_recall",
+    **kwargs,
+):
+    """Dispatching evaluator mirroring the reference Evaluator.evaluate
+    (evaluator.py:73-98): named strategy or a user callable
+    ``(labels_list, preds_list, **kwargs) -> score`` (E4, main.py:500-510).
+
+    Rows are aligned by an inner join on conv_id (the distributed-safe
+    equivalent of the reference's sort + positional zip)."""
+    if callable(strategy):
+        j = (
+            labels.select("conv_id", "entity_id")
+            .join(preds.select("conv_id", "cluster_id"), "conv_id")
+            .orderBy("conv_id")
+            .collect()
+        )
+        return strategy([r["entity_id"] for r in j], [r["cluster_id"] for r in j], **kwargs)
+    if strategy == "precision_recall":
+        s = pairwise_precision_recall(labels, preds)
+        return (s.precision, s.recall, s.f1)
+    if strategy == "ami":
+        return ami_score(labels, preds, **kwargs)
+    if strategy == "v_measure":
+        return v_measure_score(labels, preds, **kwargs)
+    raise ValueError(f"unknown evaluator strategy: {strategy}")
+
+
+def plot_prc(sweep_df: DataFrame, out_path: str) -> str | None:
+    """Precision-recall-curve sink (reference EntityResolver._plot,
+    main.py:752-765). Collects the (tiny) sweep table and renders via
+    matplotlib when available; returns the written path or None when the
+    plotting stack is absent (this sandbox)."""
+    rows = sorted(sweep_df.collect(), key=lambda r: r["threshold"])
+    try:
+        import matplotlib  # noqa: PLC0415
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt  # noqa: PLC0415
+    except ImportError:
+        return None
+    fig, ax = plt.subplots()
+    ax.plot([r["recall"] for r in rows], [r["precision"] for r in rows], marker="o")
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_title("precision-recall sweep")
+    fig.savefig(out_path)
+    return out_path

@@ -22,8 +22,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions import tfidf as tfidf_mod
 from ..functions.similarity import (
@@ -43,11 +46,32 @@ class ScoringConfig:
     prefix_len: int = 64
     stfidf_threshold: float = 0.5   # reference default
     jw_prefix_weight: float = 0.1   # reference default
+    # user-supplied kernels (reference resolver.py:899-901 custom callables):
+    # name -> batch fn (ndarray[str], ndarray[str]) -> ndarray[float64],
+    # applied to the doc prefixes through the same Arrow-batched transport.
+    custom_kernels: dict = field(default_factory=dict)
 
     def __post_init__(self):
         total = sum(self.weights.values())
         if abs(total - 1.0) > 1e-9:
             raise ValueError(f"kernel weights must sum to 1, got {total}")
+        known = {"jw", "jaro", "lev", "tfidf", "stfidf", "jaccard"}
+        unknown = set(self.weights) - known - set(self.custom_kernels)
+        if unknown:
+            raise ValueError(f"unknown kernels (no custom_kernels entry): {unknown}")
+
+
+def _custom_kernel_udf(fn):
+    """Wrap a user batch kernel (ndarray, ndarray) -> ndarray[float64] as a
+    pandas UDF (the A5 extension point, reference resolver.py:899-901)."""
+
+    @pandas_udf("double")
+    def custom_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        x = s1.fillna("").to_numpy(dtype=object)
+        y = s2.fillna("").to_numpy(dtype=object)
+        return pd.Series(np.asarray(fn(x, y), dtype=np.float64))
+
+    return custom_udf
 
 
 def pair_features(pairs: DataFrame, docs: DataFrame, cols: list[str]) -> DataFrame:
@@ -157,7 +181,9 @@ def score_pairs(
     # tfidf_cosine_pairs — attaching token arrays to millions of pair rows
     # would dominate the stage for no reason (measured 10x on the bench).
     need_tokens = any(k in cfg.weights for k in ("stfidf", "jaccard"))
-    need_prefix = any(k in cfg.weights for k in ("jw", "jaro", "lev"))
+    need_prefix = any(k in cfg.weights for k in ("jw", "jaro", "lev")) or bool(
+        set(cfg.weights) & set(cfg.custom_kernels)
+    )
     cols = (["doc_prefix"] if need_prefix else []) + (["tokens"] if need_tokens else [])
     feat = pair_features(pairs, docs, cols)
 
@@ -174,6 +200,13 @@ def score_pairs(
         )
     if "jaccard" in cfg.weights:
         kernel_cols["jaccard"] = token_jaccard_col(F.col("tokens_1"), F.col("tokens_2"))
+    for name, batch_fn in cfg.custom_kernels.items():
+        if name not in cfg.weights:
+            continue
+        kernel_cols[name] = _custom_kernel_udf(batch_fn)(
+            F.col("doc_prefix_1"), F.col("doc_prefix_2")
+        )
+
     if "stfidf" in cfg.weights:
         if df_table is None or corpus_size is None or spark is None:
             raise ValueError("stfidf kernel needs df_table + corpus_size + spark")

@@ -1036,3 +1036,79 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_running": SQL_EVENTS_RUNNING,
 }
+
+
+# ---------------------------------------------------------------------------
+# PRC threshold sweep (distributed analogue of the reference's PRC sampling,
+# resolver.py:523-526/695-712) — pair-level P/R at K thresholds in one pass
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = [0.5, 0.7, 0.8, 0.9]
+
+
+def q_er_prc_sweep(spark, sf_dir):
+    """P/R over lev-scored candidate pairs vs synthetic labels (doc_id % 97)
+    at fixed thresholds; one conditional-aggregation pass."""
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
+    d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
+    mx = F.greatest(F.length("p1"), F.length("p2"))
+    lev_sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein("p1", "p2") / mx.cast("double")
+    )
+    scored = pairs.join(d1, "id1").join(d2, "id2").select("id1", "id2", lev_sim.alias("sim"))
+    labels = load(spark, sf_dir, "documents").select(
+        F.format_string("c%06d", "doc_id").alias("conv_id"),
+        (F.col("doc_id") % 97).alias("entity_id"),
+    )
+    from ..evaluate import precision_recall_sweep
+
+    out = precision_recall_sweep(scored, labels, _SWEEP_THRESHOLDS)
+    return out.select(
+        "threshold", "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+def _prc_sweep_sql() -> str:
+    per_t = []
+    for t in _SWEEP_THRESHOLDS:
+        per_t.append(f"""
+select {t} as threshold,
+       sum(case when s >= {t} and m then 1 else 0 end) as tp,
+       sum(case when s >= {t} and not m then 1 else 0 end) as fp,
+       sum(case when s < {t} and m then 1 else 0 end) as fn
+from j""")
+    union = "\nunion all\n".join(per_t)
+    return (
+        "with "
+        + _er_pairs_cte(ER_BLOCKING)
+        + f""",
+labels as (
+    select printf('c%06d', doc_id) as conv_id, doc_id % 97 as entity_id from documents
+),
+j as (
+    select l1.entity_id = l2.entity_id as m,
+           case when greatest(length(c1.pfx), length(c2.pfx)) = 0 then 1.0
+                else 1.0 - levenshtein(c1.pfx, c2.pfx) /
+                     cast(greatest(length(c1.pfx), length(c2.pfx)) as double) end as s
+    from cand_pairs p
+    join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c1 on p.id1 = c1.conv_id
+    join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c2 on p.id2 = c2.conv_id
+    join labels l1 on l1.conv_id = p.id1
+    join labels l2 on l2.conv_id = p.id2
+),
+sweep as ({union})
+select threshold, tp, fp, fn,
+       round(case when tp + fp > 0 then tp / (tp + fp)::double else 1.0 end, 6) as precision,
+       round(case when tp + fn > 0 then tp / (tp + fn)::double else 1.0 end, 6) as recall
+from sweep"""
+    )
+
+
+SQL_ER_PRC_SWEEP = _prc_sweep_sql()
+
+QUERIES["er_prc_sweep"] = q_er_prc_sweep
+ORACLES["er_prc_sweep"] = SQL_ER_PRC_SWEEP
