@@ -129,14 +129,41 @@ def minhash_candidate_pairs(
 
 
 def token_jaccard_verify(
-    pairs: DataFrame, docs: DataFrame, threshold: float, tokens_col: str = "tokens"
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    tokens_col: str = "tokens",
+    strategy: str = "explode",
 ) -> DataFrame:
     """Exact distinct-token Jaccard for candidate pairs; keep >= threshold.
 
-    Computed via explode + groupBy (not array_intersect on joined rows) so the
-    token lists never ride through the pair join — at scale the pair table
-    carries only ids.
+    Two plans, same result:
+    - ``explode`` (default): explode + groupBy — token lists never ride
+      through the pair join; right for LONG documents (the pair table carries
+      only ids; work is O(pairs x shared tokens)).
+    - ``array``: attach the (distinct, sorted) token arrays to the pair rows
+      and compute ``size(array_intersect)`` per row — no shuffle at all after
+      the feature join; wins when docs are short (tens of tokens), where the
+      explode route's 10-100x row amplification dominates.
     """
+    if strategy == "array":
+        t = docs.select(
+            "doc_id", F.array_distinct(tokens_col).alias("_t")
+        )
+        t1 = t.select(F.col("doc_id").alias("id1"), F.col("_t").alias("_t1"))
+        t2 = t.select(F.col("doc_id").alias("id2"), F.col("_t").alias("_t2"))
+        inter = F.size(F.array_intersect("_t1", "_t2")).cast("double")
+        union = (F.size("_t1") + F.size("_t2")).cast("double") - inter
+        return (
+            pairs.join(t1, "id1")
+            .join(t2, "id2")
+            .select(
+                "id1",
+                "id2",
+                F.when(union == 0, F.lit(1.0)).otherwise(inter / union).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     t = docs.select("doc_id", F.explode(F.array_distinct(tokens_col)).alias("token"))
     t1 = t.select(F.col("doc_id").alias("id1"), "token")
     t2 = t.select(F.col("doc_id").alias("id2"), "token")
@@ -163,13 +190,19 @@ def token_jaccard_verify(
     )
 
 
-def minhash_duplicates(documents: DataFrame, cfg: MinHashConfig | None = None) -> DataFrame:
+def minhash_duplicates(
+    documents: DataFrame,
+    cfg: MinHashConfig | None = None,
+    verify_strategy: str = "explode",
+) -> DataFrame:
     """documents -> verified near-dup pairs (id1, id2, jaccard)."""
     cfg = cfg or MinHashConfig()
     docs = prepare_docs(documents)
     tdict = dedup_token_dict(docs)
     cand = minhash_candidate_pairs(docs, tdict, cfg)
-    return token_jaccard_verify(cand, docs, cfg.jaccard_threshold)
+    return token_jaccard_verify(
+        cand, docs, cfg.jaccard_threshold, strategy=verify_strategy
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1112,3 +1112,41 @@ SQL_ER_PRC_SWEEP = _prc_sweep_sql()
 
 QUERIES["er_prc_sweep"] = q_er_prc_sweep
 ORACLES["er_prc_sweep"] = SQL_ER_PRC_SWEEP
+
+
+# ---------------------------------------------------------------------------
+# information-theoretic metrics (E2/E3) — rows-only checks: the AMI expected-
+# mutual-information term (hypergeometric sum) is not ANSI-SQL-expressible
+# ---------------------------------------------------------------------------
+
+def _metric_inputs(spark, sf_dir):
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t)
+    groups = docs.groupBy("doc").agg(F.min("conv_id").alias("rep"))
+    preds = docs.join(groups, "doc").select("conv_id", F.col("rep").alias("cluster_id"))
+    labels = load(spark, sf_dir, "documents").select(
+        F.format_string("c%06d", "doc_id").alias("conv_id"),
+        (F.col("doc_id") % 97).alias("entity_id"),
+    )
+    return labels, preds
+
+
+def q_er_eval_ami(spark, sf_dir):
+    from .. import evaluate as E
+
+    labels, preds = _metric_inputs(spark, sf_dir)
+    score = float(E.ami_score(labels, preds))
+    return spark.createDataFrame([(round(score, 6),)], "ami double")
+
+
+def q_er_eval_vmeasure(spark, sf_dir):
+    from .. import evaluate as E
+
+    labels, preds = _metric_inputs(spark, sf_dir)
+    score = float(E.v_measure_score(labels, preds))
+    return spark.createDataFrame([(round(score, 6),)], "v_measure double")
+
+
+QUERIES["er_eval_ami"] = q_er_eval_ami
+QUERIES["er_eval_vmeasure"] = q_er_eval_vmeasure
+# no ORACLES entries: driver records rows-only checks for these two

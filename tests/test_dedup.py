@@ -85,3 +85,25 @@ def test_embedding_cosine_dups_brute_vs_bucketed(spark):
     # bucketed results must be a subset of brute-force results
     extra = bucketed.select("id1", "id2").exceptAll(brute.select("id1", "id2"))
     assert extra.count() == 0
+
+
+def test_jaccard_verify_array_matches_explode(spark, documents, docs):
+    from entityresolution_capstone_spark.operators.dedup import (
+        dedup_token_dict,
+        minhash_candidate_pairs,
+        token_jaccard_verify,
+        MinHashConfig,
+    )
+
+    cfg = MinHashConfig()
+    cand = (
+        minhash_candidate_pairs(docs, dedup_token_dict(docs), cfg)
+        .orderBy("id1", "id2")
+        .limit(500)
+        .cache()
+    )
+    a = token_jaccard_verify(cand, docs, 0.5, strategy="explode")
+    b = token_jaccard_verify(cand, docs, 0.5, strategy="array")
+    ra = sorted((r["id1"], r["id2"], round(r["jaccard"], 9)) for r in a.collect())
+    rb = sorted((r["id1"], r["id2"], round(r["jaccard"], 9)) for r in b.collect())
+    assert ra == rb
