@@ -79,3 +79,24 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     if not is_committed(path):
         raise FileNotFoundError(f"no committed table at {path}")
     return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Persist a stage output bucketed (and sorted) by its join key.
+
+    At cluster scale the pair table and the docs table meet on conv_id in
+    every scoring stage; bucketing both sides by the key lets Catalyst plan
+    the join with NO exchange (bucket-local sort-merge) — the co-located-join
+    strategy the north rule's partitioning requirement points at. Uses the
+    session catalog (works without Hive for parquet source tables).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(name)
