@@ -75,3 +75,43 @@ def start_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: incremental per-conversation turn accounting
+# ---------------------------------------------------------------------------
+
+TURNSTATE_OUTPUT = "conv_id string, n_turns long, max_turn_idx int"
+TURNSTATE_STATE = "n long, mx int"
+
+
+def stateful_turn_counts(stream: DataFrame):
+    """Streaming per-conversation turn counter via ``applyInPandasWithState``.
+
+    Maintains (count, max turn_idx) per conv_id across micro-batches with
+    checkpointed state — the Structured Streaming pattern for custom stateful
+    ER maintenance (e.g. "re-block a conversation once it has enough turns").
+    Emits one updated row per touched conv per batch (append-mode compatible
+    with file sinks; the latest row per conv is the current state).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n], "max_turn_idx": [mx]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=TURNSTATE_OUTPUT,
+        stateStructType=TURNSTATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -41,3 +41,52 @@ def test_stream_backfill_matches_batch(spark):
     )
     assert got == want
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_turn_counts_across_restarts(spark):
+    """State survives a query restart (checkpointed) and final counts match
+    the batch aggregation."""
+    import os, shutil, tempfile
+    from pyspark.sql import functions as F
+
+    from entityresolution_capstone_spark import schemas
+    from entityresolution_capstone_spark.streaming.ingest import stateful_turn_counts
+
+    spec = datagen.CorpusSpec(n_entities=4, convs_per_entity=2, seed=19)
+    t_pd, _ = datagen.generate_corpus(spec)
+    half = len(t_pd) // 2
+    base = tempfile.mkdtemp(prefix="ercs_state_")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(schemas.TRANSCRIPTS).parquet(in_dir)
+        q = (
+            stateful_turn_counts(stream)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(t_pd.iloc[:half], schema=schemas.TRANSCRIPTS).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+    spark.createDataFrame(t_pd.iloc[half:], schema=schemas.TRANSCRIPTS).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+
+    out = spark.read.parquet(out_dir)
+    # latest emitted row per conv = final state
+    latest = (
+        out.groupBy("conv_id").agg(F.max("n_turns").alias("n_turns"))
+    )
+    got = {r["conv_id"]: r["n_turns"] for r in latest.collect()}
+    want = t_pd.groupby("conv_id").size().to_dict()
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
