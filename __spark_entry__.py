@@ -10,11 +10,16 @@ Implementation lives in entityresolution_capstone_spark/plans/driver_queries.py.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from entityresolution_capstone_spark.plans import driver_queries as DQ
+# import works regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from entityresolution_capstone_spark.plans import driver_queries as DQ  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
