@@ -596,7 +596,11 @@ tok_ids as (
 
 
 def q_dedup_minhash(spark, sf_dir):
-    dups = D.minhash_duplicates(load(spark, sf_dir, "documents"), _MH)
+    # array verify: docs here are short (~25 distinct tokens) so per-row
+    # array_intersect beats the explode route's row amplification
+    dups = D.minhash_duplicates(
+        load(spark, sf_dir, "documents"), _MH, verify_strategy="array"
+    )
     return dups.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
