@@ -596,11 +596,7 @@ tok_ids as (
 
 
 def q_dedup_minhash(spark, sf_dir):
-    # array verify: docs here are short (~25 distinct tokens) so per-row
-    # array_intersect beats the explode route's row amplification
-    dups = D.minhash_duplicates(
-        load(spark, sf_dir, "documents"), _MH, verify_strategy="array"
-    )
+    dups = D.minhash_duplicates(load(spark, sf_dir, "documents"), _MH)
     return dups.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -38,7 +38,19 @@ def make_pyfiles_zip() -> str:
     return out
 
 
-def run_level(cpus: int, sf_dir: str, pyfiles: str) -> dict:
+def run_level(cpus: int, sf_dir: str, pyfiles: str, trials: int = 2) -> dict:
+    """Run the bench at one parallelism level; report the fastest q_score of
+    ``trials`` runs (cloud-VM noisy-neighbor variance is the dominant error
+    term at these runtimes; min-of-k is the standard estimator)."""
+    best = None
+    for _ in range(max(1, trials)):
+        r = _run_level_once(cpus, sf_dir, pyfiles)
+        if best is None or r["queries"]["q_score"] < best["queries"]["q_score"]:
+            best = r
+    return best
+
+
+def _run_level_once(cpus: int, sf_dir: str, pyfiles: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
