@@ -57,6 +57,10 @@ def run(spark, sf_dir: str) -> dict:
         salt_block_size=400,
         salt_factor=8,
     )
+    # 128-char prefixes: measured sweet spot on this hardware — the char
+    # kernels dominate the stage (so it parallelizes) without pushing the
+    # per-worker working set past the cache into the DRAM-bandwidth wall
+    # (64 makes fixed shuffle costs dominate; 160+ saturates bandwidth).
     BENCH_PREFIX = 128
 
     # Preparation (blocking + pair generation) is measured separately as

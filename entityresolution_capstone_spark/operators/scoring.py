@@ -61,6 +61,48 @@ class ScoringConfig:
             raise ValueError(f"unknown kernels (no custom_kernels entry): {unknown}")
 
 
+DENSE_TFIDF_MAX_VOCAB = 256
+
+
+def _dense_tfidf_docs(docs, df_table, corpus_size, vocab):
+    """Per-doc dense tf-idf vectors: (conv_id, v: array<double>[vocab], nrm).
+
+    Built as `vocab` conditional sums over the exploded (doc, token_id, w)
+    rows — the same pivot trick as the MinHash aggregation. Only called when
+    vocab <= DENSE_TFIDF_MAX_VOCAB.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("df", "token")
+    tdict = df_table.select(
+        "token", "df", F.row_number().over(w).cast("long").alias("tid")
+    )
+    tf = (
+        docs.select("conv_id", F.explode("tokens").alias("token"))
+        .groupBy("conv_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(tdict), "token")
+        .select(
+            "conv_id",
+            "tid",
+            (F.col("tf") * F.lit(float(corpus_size)) / F.col("df")).alias("w"),
+        )
+    )
+    sums = [
+        F.sum(F.when(F.col("tid") == i + 1, F.col("w")).otherwise(0.0)).alias(f"c{i}")
+        for i in range(vocab)
+    ]
+    agg = tf.groupBy("conv_id").agg(*sums)
+    vec = F.array(*[F.col(f"c{i}") for i in range(vocab)])
+    return agg.select(
+        "conv_id",
+        vec.alias("v"),
+        F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("nrm"),
+    )
+
+
 def _custom_kernel_udf(fn):
     """Wrap a user batch kernel (ndarray, ndarray) -> ndarray[float64] as a
     pandas UDF (the A5 extension point, reference resolver.py:899-901)."""
@@ -129,6 +171,41 @@ def score_pairs_slim(
     if "tfidf" in cfg.weights:
         if df_table is None or corpus_size is None:
             raise ValueError("tfidf kernel needs df_table + corpus_size")
+        vocab = df_table.count()
+        if vocab <= DENSE_TFIDF_MAX_VOCAB:
+            # dense path: per-doc V-dim tf-idf arrays attached to the pair rows,
+            # cosine = JVM zip_with dot product — ZERO shuffles after the
+            # feature join, so this kernel scales like the char kernels. Only
+            # viable when the vocabulary is small enough to pivot into columns;
+            # large vocabularies take the sparse explode+join route below.
+            dense = _dense_tfidf_docs(docs, df_table, corpus_size, vocab)
+            dv1 = dense.select(
+                F.col("conv_id").alias("id1"), F.col("v").alias("_v1"), F.col("nrm").alias("_n1")
+            )
+            dv2 = dense.select(
+                F.col("conv_id").alias("id2"), F.col("v").alias("_v2"), F.col("nrm").alias("_n2")
+            )
+            dot = F.aggregate(
+                F.zip_with("_v1", "_v2", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+            )
+            cos_col = F.when(
+                (F.col("_n1") > 0) & (F.col("_n2") > 0), dot / (F.col("_n1") * F.col("_n2"))
+            ).otherwise(0.0)
+            parts.append(
+                pairs.join(F.broadcast(dv1), "id1")
+                .join(F.broadcast(dv2), "id2")
+                .select(
+                    "id1", "id2",
+                    (F.lit(cfg.weights["tfidf"]) * cos_col).alias("partial"),
+                )
+            )
+            unsupported = set(cfg.weights) - set(char_kernels) - {"tfidf"}
+            if unsupported:
+                raise ValueError(f"score_pairs_slim does not support kernels: {unsupported}")
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.groupBy("id1", "id2").agg(F.sum("partial").alias("attr_sim"))
         # per-doc tables: tiny next to the pair table; persisted because the
         # plan reads vectors twice and the two norm broadcasts would otherwise
         # re-run the whole explode+join chain each

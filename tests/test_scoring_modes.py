@@ -85,3 +85,18 @@ def test_alpha_relational_mix(spark, small):
 def test_weights_must_sum_to_one():
     with pytest.raises(ValueError):
         SC.ScoringConfig(weights={"jw": 0.5, "lev": 0.2})
+
+
+def test_slim_matches_detailed_attr_sim(spark, small):
+    """score_pairs_slim (incl. the dense small-vocab tf-idf path) must equal
+    score_pairs' attr_sim."""
+    docs, dft, pairs, _ = small
+    cfg = SC.ScoringConfig(weights={"jw": 0.3, "lev": 0.2, "tfidf": 0.5})
+    n = docs.count()
+    detailed = SC.score_pairs(pairs, docs, cfg, df_table=dft, corpus_size=n)
+    slim = SC.score_pairs_slim(pairs, docs, cfg, df_table=dft, corpus_size=n)
+    a = {(r["id1"], r["id2"]): r["attr_sim"] for r in detailed.collect()}
+    b = {(r["id1"], r["id2"]): r["attr_sim"] for r in slim.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, k
