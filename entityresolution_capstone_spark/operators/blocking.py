@@ -33,8 +33,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.ids import dense_rank_ids
 
 MERSENNE_P = 2147483647  # 2^31 - 1
 
@@ -71,14 +73,15 @@ def _hash_params(n: int, seed: int) -> list[tuple[int, int]]:
 def token_dictionary(df_table: DataFrame) -> DataFrame:
     """(token, token_id, df) with dense ids ordered by (df, token).
 
-    Deterministic and reproducible in SQL (``row_number() over (order by df,
-    token)``). One global sort over the vocabulary — the vocabulary is orders
-    of magnitude smaller than the corpus, and the result is broadcast.
+    Deterministic and reproducible in SQL (equals ``row_number() over (order
+    by df, token)``), but computed with NO single-task global sort: ids come
+    from range-partitioned per-partition row numbers + broadcast offsets
+    (:func:`..functions.ids.dense_rank_ids`), so a 10^9-token vocabulary
+    numbers in parallel instead of on one straggler.
     """
-    w = Window.orderBy("df", "token")
-    return df_table.select(
-        "token", "df", F.row_number().over(w).cast("long").alias("token_id")
-    )
+    return dense_rank_ids(
+        df_table.select("token", "df"), ["df", "token"], "token_id"
+    ).select("token", "df", "token_id")
 
 
 def token_block_keys(

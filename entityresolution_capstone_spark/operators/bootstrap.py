@@ -26,13 +26,21 @@ def exact_match_edges(
     """Star edges (id1, id2) linking every doc to the min conv_id of its
     exact-match group. O(n) edges instead of O(group²)."""
     match_cols = match_cols or ["doc"]
-    key = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\u0000")) for c in match_cols])
+    # group on the ACTUAL attribute tuple (struct key), not a 64-bit hash of
+    # it: at 10^12 rows birthday-bound xxhash64 collisions are expected in the
+    # thousands, and one colliding seed edge gets amplified by transitive
+    # closure into a wrongly merged cluster. Struct equality is null-safe
+    # (null fields compare equal). Spark still hash-partitions the shuffle on
+    # the struct internally -- same shuffle shape, no correctness gamble.
+    key = F.struct(*[F.col(c) for c in match_cols])
     grouped = docs.select(F.col("conv_id"), key.alias("_k"))
     reps = grouped.groupBy("_k").agg(
         F.min("conv_id").alias("id1"), F.count("*").alias("_n")
     )
+    # no broadcast hint: the duplicate-group table is data-dependent in size
+    # (can be O(n) at web scale); AQE picks broadcast when it actually fits
     return (
-        grouped.join(F.broadcast(reps.filter(F.col("_n") > 1)), "_k")
+        grouped.join(reps.filter(F.col("_n") > 1), "_k")
         .filter(F.col("conv_id") != F.col("id1"))
         .select("id1", F.col("conv_id").alias("id2"))
     )

@@ -22,9 +22,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.ids import dense_rank_ids
 from ..functions.text import token_ngrams, tokenize
 
 MERSENNE_P = 2147483647
@@ -76,14 +77,18 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def dedup_token_dict(docs: DataFrame) -> DataFrame:
-    """(token, token_id) dense ids ordered by (df, token) — SQL-reproducible."""
+    """(token, token_id) dense ids ordered by (df, token) — SQL-reproducible.
+
+    No global sort: ids via range-partitioned numbering + broadcast offsets
+    (functions.ids.dense_rank_ids), bit-identical to the row_number form the
+    DuckDB oracle uses.
+    """
     dft = (
         docs.select("doc_id", F.explode(F.array_distinct("tokens")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
-    w = Window.orderBy("df", "token")
-    return dft.select("token", F.row_number().over(w).cast("long").alias("token_id"))
+    return dense_rank_ids(dft, ["df", "token"], "token_id").select("token", "token_id")
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ class ScoringConfig:
     prefix_len: int = 64
     stfidf_threshold: float = 0.5   # reference default
     jw_prefix_weight: float = 0.1   # reference default
+    stfidf_max_vocab: int = 2_000_000  # cap on the stfidf DF-dict broadcast
     # user-supplied kernels (reference resolver.py:899-901 custom callables):
     # name -> batch fn (ndarray[str], ndarray[str]) -> ndarray[float64],
     # applied to the doc prefixes through the same Arrow-batched transport.
@@ -62,6 +63,10 @@ class ScoringConfig:
 
 
 DENSE_TFIDF_MAX_VOCAB = 256
+# dense vectors are broadcast to both sides of the pair join; vocabulary bounds
+# row WIDTH but not row COUNT, so gate on docs too: 200k docs x 256 doubles
+# ~ 400 MB, the most a driver/executor broadcast should carry
+DENSE_TFIDF_MAX_DOCS = 200_000
 
 
 def _dense_tfidf_docs(docs, df_table, corpus_size, vocab):
@@ -71,12 +76,9 @@ def _dense_tfidf_docs(docs, df_table, corpus_size, vocab):
     rows — the same pivot trick as the MinHash aggregation. Only called when
     vocab <= DENSE_TFIDF_MAX_VOCAB.
     """
-    from pyspark.sql import Window
+    from ..functions.ids import dense_rank_ids
 
-    w = Window.orderBy("df", "token")
-    tdict = df_table.select(
-        "token", "df", F.row_number().over(w).cast("long").alias("tid")
-    )
+    tdict = dense_rank_ids(df_table.select("token", "df"), ["df", "token"], "tid")
     tf = (
         docs.select("conv_id", F.explode("tokens").alias("token"))
         .groupBy("conv_id", "token")
@@ -172,7 +174,7 @@ def score_pairs_slim(
         if df_table is None or corpus_size is None:
             raise ValueError("tfidf kernel needs df_table + corpus_size")
         vocab = df_table.count()
-        if vocab <= DENSE_TFIDF_MAX_VOCAB:
+        if vocab <= DENSE_TFIDF_MAX_VOCAB and (corpus_size or 0) <= DENSE_TFIDF_MAX_DOCS:
             # dense path: per-doc V-dim tf-idf arrays attached to the pair rows,
             # cosine = JVM zip_with dot product — ZERO shuffles after the
             # feature join, so this kernel scales like the char kernels. Only
@@ -188,15 +190,19 @@ def score_pairs_slim(
             dot = F.aggregate(
                 F.zip_with("_v1", "_v2", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
             )
+            # left joins + coalesce: a doc with zero tokens has no dense row;
+            # its pairs must still score (tfidf partial 0), matching score_pairs
             cos_col = F.when(
                 (F.col("_n1") > 0) & (F.col("_n2") > 0), dot / (F.col("_n1") * F.col("_n2"))
             ).otherwise(0.0)
             parts.append(
-                pairs.join(F.broadcast(dv1), "id1")
-                .join(F.broadcast(dv2), "id2")
+                pairs.join(F.broadcast(dv1), "id1", "left")
+                .join(F.broadcast(dv2), "id2", "left")
                 .select(
                     "id1", "id2",
-                    (F.lit(cfg.weights["tfidf"]) * cos_col).alias("partial"),
+                    F.coalesce(
+                        F.lit(cfg.weights["tfidf"]) * cos_col, F.lit(0.0)
+                    ).alias("partial"),
                 )
             )
             unsupported = set(cfg.weights) - set(char_kernels) - {"tfidf"}
@@ -240,7 +246,17 @@ def score_pairs_slim(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.groupBy("id1", "id2").agg(F.sum("partial").alias("attr_sim"))
+    agg = out.groupBy("id1", "id2").agg(F.sum("partial").alias("attr_sim"))
+    if char_kernels:
+        # the char partial emits exactly one row per pair, so the groupBy
+        # already covers the full pair set — no restore join needed
+        return agg
+    # tfidf-only: the sparse dot-product inner join drops pairs with no shared
+    # token; restore them with attr_sim = 0.0 so the row set equals `pairs`
+    # (numerical parity with score_pairs, per its contract)
+    return pairs.join(agg, ["id1", "id2"], "left").select(
+        "id1", "id2", F.coalesce("attr_sim", F.lit(0.0)).alias("attr_sim")
+    )
 
 
 def score_pairs(
@@ -287,7 +303,32 @@ def score_pairs(
     if "stfidf" in cfg.weights:
         if df_table is None or corpus_size is None or spark is None:
             raise ValueError("stfidf kernel needs df_table + corpus_size + spark")
-        df_map = {r["token"]: r["df"] for r in df_table.collect()}
+        # the soft-TF-IDF kernel broadcasts the DF table as a python dict (the
+        # parity kernel's contract needs per-token DF lookups inside the Arrow
+        # batch). Unbounded, that collect OOMs the driver at web-scale vocab —
+        # so (a) prune the table to tokens that actually occur in candidate
+        # docs, (b) hard-cap what may be collected with a clear error.
+        cand_ids = (
+            pairs.select(F.col("id1").alias("conv_id"))
+            .unionByName(pairs.select(F.col("id2").alias("conv_id")))
+            .distinct()
+        )
+        cand_tokens = (
+            docs.join(cand_ids, "conv_id")
+            .select(F.explode(F.array_distinct("tokens")).alias("token"))
+            .distinct()
+        )
+        pruned = df_table.join(cand_tokens, "token")
+        n_tokens = pruned.count()
+        if n_tokens > cfg.stfidf_max_vocab:
+            raise ValueError(
+                f"stfidf kernel would broadcast {n_tokens} DF entries "
+                f"(cap {cfg.stfidf_max_vocab}): the soft-TF-IDF parity kernel "
+                "is driver-bounded by design — shrink the candidate set, raise "
+                "ScoringConfig.stfidf_max_vocab, or use the distributed "
+                "'tfidf' kernel instead"
+            )
+        df_map = {r["token"]: r["df"] for r in pruned.collect()}
         bc = spark.sparkContext.broadcast(df_map)
         st = tfidf_mod.make_soft_tfidf_udf(
             bc, corpus_size, threshold=cfg.stfidf_threshold

@@ -16,9 +16,10 @@ exact ANSI-SQL equivalent for the DuckDB correctness oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.ids import dense_rank_ids
 from ..functions.text import tokenize
 
 MERSENNE_P = 2147483647
@@ -94,14 +95,18 @@ def quality_scores(documents: DataFrame, id_col: str = "doc_id", text_col: str =
 
 
 def token_counts(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, ws_tokens, subword_est): whitespace count + ceil(len/4) subwords."""
+    """(doc_id, ws_tokens, subword_est): whitespace count + ceil(len/4) subwords.
+
+    Integral outputs are long: the driver's value hash is type-sensitive, so
+    every integral output column is canonicalized to 64-bit on both engines.
+    """
     toks = tokenize(F.col(text_col))
     return documents.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("ws_tokens"),
+        F.size(toks).cast("long").alias("ws_tokens"),
         F.aggregate(
             toks, F.lit(0), lambda a, t: a + F.ceil(F.length(t) / F.lit(4.0)).cast("int")
-        ).alias("subword_est"),
+        ).cast("long").alias("subword_est"),
     )
 
 
@@ -117,8 +122,8 @@ def doc_fingerprints(documents: DataFrame, id_col: str = "doc_id", text_col: str
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
-    w = Window.orderBy("df", "token")
-    tdict = dft.select("token", F.row_number().over(w).cast("long").alias("token_id"))
+    # no global sort: range-partitioned deterministic ids (functions.ids)
+    tdict = dense_rank_ids(dft, ["df", "token"], "token_id").select("token", "token_id")
     pos = docs.select("doc_id", F.posexplode("tokens").alias("pos", "token")).join(
         F.broadcast(tdict), "token"
     )

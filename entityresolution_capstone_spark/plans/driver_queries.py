@@ -735,20 +735,37 @@ where coalesce(i.n_inter, 0)::double / (s1.n + s2.n - coalesce(i.n_inter, 0)) >=
 
 
 def q_dedup_embedding(spark, sf_dir):
+    """LSH-bucketed near-dup pairs — the 100-TB plan: candidates restricted to
+    a shared random-hyperplane bucket instead of the O(n²) cross join. The
+    brute-force path remains the test-only recall oracle
+    (tests/test_dedup.py)."""
     dups = D.embedding_cosine_duplicates(
-        load(spark, sf_dir, "embeddings"), threshold=0.35
+        load(spark, sf_dir, "embeddings"), threshold=0.35, bucketed=True, n_planes=8
     )
     return dups.select("id1", "id2", F.round("cosine", 5).alias("cosine"))
 
 
-SQL_DEDUP_EMBEDDING = """
+def _bucket_expr_sql(n_planes: int = 8, dim: int = 64, table: int = 0) -> str:
+    """DuckDB expression reproducing similarity_search.lsh_bucket_keys for one
+    plane table (integer plane coefficients — exact in both engines)."""
+    bit_exprs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"e[{d + 1}] * ({S._plane_coeff(table * n_planes + p, d)})" for d in range(dim)
+        )
+        bit_exprs.append(f"case when ({terms}) > 0 then '1' else '0' end")
+    return f"'{table}:' || " + " || ".join(bit_exprs)
+
+
+SQL_DEDUP_EMBEDDING = f"""
 with v as (
     select vec_id as id, embedding::DOUBLE[] as e from embeddings
 ),
-n as (select id, e, sqrt(list_dot_product(e, e)) as nrm from v)
+n as (select id, e, sqrt(list_dot_product(e, e)) as nrm,
+             {_bucket_expr_sql(8, 64)} as bucket from v)
 select a.id as id1, b.id as id2,
        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 5) as cosine
-from n a join n b on a.id < b.id
+from n a join n b on a.bucket = b.bucket and a.id < b.id
 where list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35"""
 
 
@@ -834,9 +851,9 @@ def q_token_count(spark, sf_dir):
 
 SQL_TOKEN_COUNT = f"""
 select doc_id,
-       len({TOK}) as ws_tokens,
-       coalesce(list_sum(list_transform({TOK},
-                t -> cast(ceil(length(t) / 4.0) as int))), 0) as subword_est
+       cast(len({TOK}) as bigint) as ws_tokens,
+       cast(coalesce(list_sum(list_transform({TOK},
+                t -> cast(ceil(length(t) / 4.0) as int))), 0) as bigint) as subword_est
 from documents"""
 
 
@@ -899,8 +916,8 @@ token_dict as (
     select token, row_number() over (order by df, token) as token_id from df_table
 )
 select doc_id,
-       sum(token_id * ((p + 1) * {TS.POS_MULT} % {MERSENNE_P}) % {MERSENNE_P})
-           % {MERSENNE_P} as fingerprint
+       cast(sum(token_id * ((p + 1) * {TS.POS_MULT} % {MERSENNE_P}) % {MERSENNE_P})
+           % {MERSENNE_P} as bigint) as fingerprint
 from pos join token_dict using (token)
 group by doc_id"""
 
@@ -940,8 +957,8 @@ def q_events_sessions(spark, sf_dir):
         ).cast("int").alias("new_session"),
     )
     return gaps.groupBy("user_id").agg(
-        (F.coalesce(F.sum("new_session"), F.lit(0)) + 1).alias("n_sessions"),
-        F.count("*").alias("n_events"),
+        (F.coalesce(F.sum("new_session"), F.lit(0)) + 1).cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
     )
 
 
@@ -952,7 +969,9 @@ with g as (
                 then 1 else 0 end as new_session
     from events
 )
-select user_id, coalesce(sum(new_session), 0) + 1 as n_sessions, count(*) as n_events
+select user_id,
+       cast(coalesce(sum(new_session), 0) + 1 as bigint) as n_sessions,
+       cast(count(*) as bigint) as n_events
 from g group by user_id"""
 
 
@@ -978,6 +997,280 @@ from events where user_id < 5"""
 
 
 # ---------------------------------------------------------------------------
+# relational-kernel queries (N1-N7, R2, R4, R5, G4) over derived hyper-edges
+#
+# Hyper-edge derivation (deterministic, SQL-expressible): every conversation
+# belongs to exactly one hyper-edge, edge_id = doc_id % 23 — the same shape as
+# the reference's citeseer graph (each author-reference row carries one paper
+# edge_id, scripts.py:113-117). Clusters = exact-match groups (min conv_id per
+# identical doc); candidate cluster pairs = clusters sharing >= 1 neighbor
+# cluster (the reference's sim_clusters notion, resolver.py:565-600).
+# ---------------------------------------------------------------------------
+
+EDGE_MOD = 23
+
+
+def derive_edges(spark, sf_dir):
+    """(conv_id, edge_id): hyper-edge membership, one edge per conversation."""
+    return load(spark, sf_dir, "documents").select(
+        F.format_string("c%06d", "doc_id").alias("conv_id"),
+        (F.col("doc_id") % EDGE_MOD).cast("long").alias("edge_id"),
+    )
+
+
+def _rel_inputs(spark, sf_dir):
+    """(clusters, edges, nbrs, pairs) shared by the relational queries."""
+    from ..functions.relational import cluster_neighbors
+
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t)
+    groups = docs.groupBy("doc").agg(F.min("conv_id").alias("_rep"))
+    clusters = docs.join(groups, "doc").select(
+        "conv_id", F.col("_rep").alias("cluster_id")
+    )
+    edges = derive_edges(spark, sf_dir)
+    nbrs = cluster_neighbors(clusters, edges).persist()
+    counts = nbrs.groupBy("cluster", "nbr").agg(F.count("*").alias("cnt"))
+    a = counts.select(F.col("cluster").alias("c1"), "nbr")
+    b = counts.select(F.col("cluster").alias("c2"), "nbr")
+    pairs = (
+        a.join(b, "nbr").filter(F.col("c1") < F.col("c2")).select("c1", "c2").distinct()
+    )
+    return clusters, edges, nbrs, pairs
+
+
+# shared SQL CTEs: edges / clusters / neighbor multiset / counts / pairs
+_REL_CTE = (
+    CANON_CTE
+    + f""",
+rel_edges as (
+    select printf('c%06d', doc_id) as conv_id, doc_id % {EDGE_MOD} as edge_id
+    from documents
+),
+clus as (
+    select conv_id, min(conv_id) over (partition by doc) as cluster_id from canon
+),
+nbr as (
+    select ca.cluster_id as cluster, cb.cluster_id as nbr
+    from rel_edges e1
+    join rel_edges e2 using (edge_id)
+    join clus ca on ca.conv_id = e1.conv_id
+    join clus cb on cb.conv_id = e2.conv_id
+),
+cnts as (select cluster, nbr, count(*) as cnt from nbr group by 1, 2),
+prs as (
+    select distinct a.cluster as c1, b.cluster as c2
+    from cnts a join cnts b on a.nbr = b.nbr and a.cluster < b.cluster
+),
+pn as (
+    select c1, c2, nbr, sum(cnt1) as cnt1, sum(cnt2) as cnt2 from (
+        select p.c1, p.c2, c.nbr, c.cnt as cnt1, 0 as cnt2
+        from prs p join cnts c on c.cluster = p.c1
+        union all
+        select p.c1, p.c2, c.nbr, 0 as cnt1, c.cnt as cnt2
+        from prs p join cnts c on c.cluster = p.c2
+    ) group by 1, 2, 3
+)"""
+)
+
+
+def q_er_rel_jaccard(spark, sf_dir):
+    """N1 + N2: set and multiset (frequency) Jaccard over cluster neighbors."""
+    from ..functions.relational import rel_sim_pairs
+
+    _, _, nbrs, pairs = _rel_inputs(spark, sf_dir)
+    s = rel_sim_pairs(pairs, nbrs, "jaccard_coef").withColumnRenamed("rel_sim", "jac")
+    m = rel_sim_pairs(pairs, nbrs, "jaccard_coef_fr").withColumnRenamed("rel_sim", "jac_fr")
+    return s.join(m, ["c1", "c2"]).select(
+        "c1", "c2", F.round("jac", 6).alias("jac"), F.round("jac_fr", 6).alias("jac_fr")
+    )
+
+
+SQL_ER_REL_JACCARD = (
+    "with "
+    + _REL_CTE
+    + """
+select c1, c2,
+       round(sum(case when cnt1 > 0 and cnt2 > 0 then 1.0 else 0.0 end)
+             / count(*), 6) as jac,
+       round(sum(least(cnt1, cnt2))::double
+             / sum(greatest(cnt1, cnt2)), 6) as jac_fr
+from pn group by c1, c2"""
+)
+
+
+def q_er_rel_adar(spark, sf_dir):
+    """N3 + N4: Adar-weighted neighbor similarity (set + multiset uniqueness:
+    u(c) = 1/(1+ln(n_c)), n = distinct vs multiset neighbor count)."""
+    from ..functions.relational import rel_sim_pairs
+
+    _, _, nbrs, pairs = _rel_inputs(spark, sf_dir)
+    s = rel_sim_pairs(pairs, nbrs, "adar_neighbor").withColumnRenamed("rel_sim", "adar")
+    m = rel_sim_pairs(pairs, nbrs, "adar_neighbor_fr").withColumnRenamed("rel_sim", "adar_fr")
+    return s.join(m, ["c1", "c2"]).select(
+        "c1", "c2", F.round("adar", 6).alias("adar"), F.round("adar_fr", 6).alias("adar_fr")
+    )
+
+
+SQL_ER_REL_ADAR = (
+    "with "
+    + _REL_CTE
+    + """,
+u_set as (
+    select cluster, 1.0 / (1.0 + ln(count(distinct nbr))) as uniq
+    from nbr group by cluster
+),
+u_multi as (
+    select cluster, 1.0 / (1.0 + ln(count(*))) as uniq
+    from nbr group by cluster
+)
+select pn.c1, pn.c2,
+       round(sum(case when cnt1 > 0 and cnt2 > 0 then us.uniq else 0 end)
+             / sum(us.uniq), 6) as adar,
+       round(sum(least(cnt1, cnt2) * um.uniq)
+             / sum(greatest(cnt1, cnt2) * um.uniq), 6) as adar_fr
+from pn
+join u_set us on us.cluster = pn.nbr
+join u_multi um on um.cluster = pn.nbr
+group by pn.c1, pn.c2"""
+)
+
+
+def q_er_rel_adar_attr(spark, sf_dir):
+    """N5 + N6 + G4: Adar with attribute-ambiguity uniqueness
+    u(c) = 1 / mean(amb); amb(r) = |distinct a2 among refs sharing a1(r)|/|R|,
+    with a1 = first token of the doc and a2 = last token."""
+    from ..functions.relational import attr_uniqueness, rel_sim_pairs
+
+    clusters, _, nbrs, pairs = _rel_inputs(spark, sf_dir)
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t).select(
+        "conv_id",
+        F.element_at("tokens", 1).alias("a1"),
+        F.element_at("tokens", -1).alias("a2"),
+    )
+    uniq = attr_uniqueness(docs, clusters, "a1", "a2")
+    s = rel_sim_pairs(pairs, nbrs, "adar_attr", uniqueness=uniq).withColumnRenamed(
+        "rel_sim", "adar_attr"
+    )
+    m = rel_sim_pairs(pairs, nbrs, "adar_attr_fr", uniqueness=uniq).withColumnRenamed(
+        "rel_sim", "adar_attr_fr"
+    )
+    return s.join(m, ["c1", "c2"]).select(
+        "c1", "c2",
+        F.round("adar_attr", 6).alias("adar_attr"),
+        F.round("adar_attr_fr", 6).alias("adar_attr_fr"),
+    )
+
+
+SQL_ER_REL_ADAR_ATTR = (
+    "with "
+    + _REL_CTE
+    + f""",
+attrs as (
+    select conv_id, ({_DOC_TOK})[1] as a1, ({_DOC_TOK})[len({_DOC_TOK})] as a2
+    from canon
+),
+n_total as (select count(*) as n from canon),
+amb_by_a1 as (
+    select a1, count(distinct a2)::double / n_total.n as amb
+    from attrs cross join n_total group by a1, n_total.n
+),
+u_attr as (
+    select c.cluster_id as cluster, 1.0 / avg(ab.amb) as uniq
+    from attrs a
+    join amb_by_a1 ab using (a1)
+    join clus c on c.conv_id = a.conv_id
+    group by c.cluster_id
+)
+select pn.c1, pn.c2,
+       round(sum(case when cnt1 > 0 and cnt2 > 0 then u.uniq else 0 end)
+             / sum(u.uniq), 6) as adar_attr,
+       round(sum(least(cnt1, cnt2) * u.uniq)
+             / sum(greatest(cnt1, cnt2) * u.uniq), 6) as adar_attr_fr
+from pn
+join u_attr u on u.cluster = pn.nbr
+group by pn.c1, pn.c2"""
+)
+
+
+def q_er_edge_match(spark, sf_dir):
+    """R2: candidate pairs with >= 1 exactly-matching neighbor pair across
+    their hyper-edges (neighbor exact groups = identical canonical doc)."""
+    from ..operators.bootstrap import edge_match_filter
+
+    t, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    edges = derive_edges(spark, sf_dir)
+    groups = docs.groupBy("doc").agg(F.min("conv_id").alias("_rep"))
+    exact_groups = docs.join(groups, "doc").select(
+        "conv_id", F.col("_rep").alias("group")
+    )
+    return edge_match_filter(pairs, edges, exact_groups, k=1)
+
+
+SQL_ER_EDGE_MATCH = (
+    "with "
+    + _er_pairs_cte(ER_BLOCKING)
+    + f""",
+rel_edges as (
+    select printf('c%06d', doc_id) as conv_id, doc_id % {EDGE_MOD} as edge_id
+    from documents
+),
+grp as (
+    select conv_id, min(conv_id) over (partition by doc) as grp from canon
+),
+nbr_conv as (
+    select e1.conv_id as m, e2.conv_id as n
+    from rel_edges e1 join rel_edges e2 using (edge_id)
+),
+matches as (
+    select p.id1, p.id2, count(*) as n_match
+    from cand_pairs p
+    join nbr_conv n1 on n1.m = p.id1
+    join nbr_conv n2 on n2.m = p.id2
+    join grp g1 on g1.conv_id = n1.n
+    join grp g2 on g2.conv_id = n2.n
+    where g1.grp = g2.grp
+      and not (n1.n = p.id1 and n2.n = p.id2)
+      and not (n1.n = p.id2 and n2.n = p.id1)
+    group by p.id1, p.id2
+)
+select id1, id2 from matches where n_match >= 1"""
+)
+
+
+def q_er_neg_constraint(spark, sf_dir):
+    """R4: drop candidate pairs that co-occur in one hyper-edge (the
+    reference's negative constraint — co-occurring references are distinct
+    by construction)."""
+    from ..operators.bootstrap import negative_constraint_filter
+
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    edges = derive_edges(spark, sf_dir)
+    return negative_constraint_filter(pairs, edges)
+
+
+SQL_ER_NEG_CONSTRAINT = (
+    "with "
+    + _er_pairs_cte(ER_BLOCKING)
+    + f""",
+rel_edges as (
+    select printf('c%06d', doc_id) as conv_id, doc_id % {EDGE_MOD} as edge_id
+    from documents
+),
+co as (
+    select e1.conv_id as id1, e2.conv_id as id2
+    from rel_edges e1 join rel_edges e2 using (edge_id)
+    where e1.conv_id < e2.conv_id
+)
+select p.id1, p.id2 from cand_pairs p
+anti join co on co.id1 = p.id1 and co.id2 = p.id2"""
+)
+
+
+# ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
 
@@ -991,6 +1284,11 @@ QUERIES = {
     "er_pairs_tfidf": q_er_pairs_tfidf,
     "er_pairs_jw": q_er_pairs_jw,
     "er_exact_match": q_er_exact_match,
+    "er_rel_jaccard": q_er_rel_jaccard,
+    "er_rel_adar": q_er_rel_adar,
+    "er_rel_adar_attr": q_er_rel_adar_attr,
+    "er_edge_match": q_er_edge_match,
+    "er_neg_constraint": q_er_neg_constraint,
     "er_clusters": q_er_clusters,
     "er_pairwise_f1": q_er_pairwise_f1,
     "dedup_exact": q_dedup_exact,
@@ -1019,6 +1317,11 @@ ORACLES = {
     "er_pairs_tfidf": SQL_ER_PAIRS_TFIDF,
     # er_pairs_jw: intentionally no oracle (JW variant divergence; see docstring)
     "er_exact_match": SQL_ER_EXACT_MATCH,
+    "er_rel_jaccard": SQL_ER_REL_JACCARD,
+    "er_rel_adar": SQL_ER_REL_ADAR,
+    "er_rel_adar_attr": SQL_ER_REL_ADAR_ATTR,
+    "er_edge_match": SQL_ER_EDGE_MATCH,
+    "er_neg_constraint": SQL_ER_NEG_CONSTRAINT,
     "er_clusters": SQL_ER_CLUSTERS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -1077,9 +1380,9 @@ def _prc_sweep_sql() -> str:
     for t in _SWEEP_THRESHOLDS:
         per_t.append(f"""
 select {t} as threshold,
-       sum(case when s >= {t} and m then 1 else 0 end) as tp,
-       sum(case when s >= {t} and not m then 1 else 0 end) as fp,
-       sum(case when s < {t} and m then 1 else 0 end) as fn
+       cast(sum(case when s >= {t} and m then 1 else 0 end) as bigint) as tp,
+       cast(sum(case when s >= {t} and not m then 1 else 0 end) as bigint) as fp,
+       cast(sum(case when s < {t} and m then 1 else 0 end) as bigint) as fn
 from j""")
     union = "\nunion all\n".join(per_t)
     return (
