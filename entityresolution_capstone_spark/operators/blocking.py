@@ -55,6 +55,11 @@ class BlockingConfig:
                                   # max_block_size] enumerate pairs via the
                                   # salted sub-bucket join instead of one task
     salt_factor: int = 8          # sub-buckets per salted block
+    # user-supplied blocking strategy (the reference takes a blocking_strategy
+    # ctor arg, main.py:212-214): a callable docs -> DataFrame(conv_id,
+    # block_key). Keys flow through the same size-cap / salting / metrics
+    # machinery as the built-in sources.
+    custom_key_fn: object | None = None
 
 
 def _hash_params(n: int, seed: int) -> list[tuple[int, int]]:
@@ -152,6 +157,12 @@ def build_blocks(
         parts.append(token_block_keys(docs, token_dict, cfg))
     if cfg.use_minhash:
         parts.append(minhash_signatures(docs, token_dict, cfg))
+    if cfg.custom_key_fn is not None:
+        custom = cfg.custom_key_fn(docs)
+        missing = {"conv_id", "block_key"} - set(custom.columns)
+        if missing:
+            raise ValueError(f"custom_key_fn output lacks columns: {missing}")
+        parts.append(custom.select("conv_id", "block_key"))
     if not parts:
         raise ValueError("blocking config enables no key source")
     out = parts[0]

@@ -102,6 +102,17 @@ def lsh_bucket_keys(
     return v.select("id", F.explode(F.array(*keys)).alias("bucket"))
 
 
+def bucket_size_metrics(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(bucket, size, dropped): the blocking-style cap+report accounting for
+    ANN buckets — a degenerate embedding cluster (e.g. all-zero vectors) lands
+    in ONE bucket and would turn the bucket join into an O(s*q) straggler."""
+    return buckets.groupBy("bucket").agg(F.count("*").alias("size")).select(
+        "bucket",
+        F.col("size").cast("long").alias("size"),
+        (F.col("size") > max_bucket_size).alias("dropped"),
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -110,9 +121,25 @@ def ann_topk(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share any LSH table bucket with the query."""
+    """Approximate top-k: candidates share any LSH table bucket with the query.
+
+    ``max_bucket_size``: corpus buckets larger than this are EXCLUDED from the
+    candidate join (skew cap, same policy as blocking.candidate_pairs; use
+    :func:`bucket_size_metrics` on :func:`lsh_bucket_keys` output to report
+    what was dropped). With multi-table OR-amplification a vector dropped from
+    one hot bucket usually still reaches its queries through another table.
+    """
     cb = lsh_bucket_keys(corpus, id_col, vec_col, n_planes, n_tables)
+    if max_bucket_size is not None:
+        hot = (
+            cb.groupBy("bucket")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") > max_bucket_size)
+            .select("bucket")
+        )
+        cb = cb.join(F.broadcast(hot), "bucket", "left_anti")
     qb = lsh_bucket_keys(queries, id_col, vec_col, n_planes, n_tables).select(
         F.col("id").alias("query_id"), "bucket"
     )

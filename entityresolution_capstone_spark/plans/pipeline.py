@@ -21,6 +21,7 @@ distributed job with an on-disk commit point.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -47,6 +48,13 @@ class PipelineConfig:
     scoring: SC.ScoringConfig = field(default_factory=SC.ScoringConfig)
     exact_match_cols: tuple[str, ...] = ("doc",)
     use_negative_constraint: bool = False  # needs an edges table
+    # alpha > 0 clustering: per-round relational re-scoring (operators/
+    # iterative.py, reference resolver.py:655-801). Needs an edges table.
+    rel_strategy: str = "jaccard_coef"
+    iterative_max_rounds: int = 10
+    # non-max linkage clustering (operators/linkage.py); 'max' keeps the
+    # thresholded-CC fast path
+    linkage: str = "max"
     run_id: str | None = None
 
 
@@ -160,12 +168,19 @@ class Pipeline:
             "pairs", lambda: B.candidate_pairs(blocks, cfg.blocking), resume
         )
 
+        # with the iterative alpha path the rel mix-in happens per merge
+        # round (operators/iterative.py), so the scoring stage computes the
+        # attribute kernels only — alpha is applied downstream
+        iterative = cfg.scoring.alpha > 0 and edges is not None
+        score_cfg = (
+            dataclasses.replace(cfg.scoring, alpha=0.0) if iterative else cfg.scoring
+        )
         scored = self._run_stage(
             "scores",
             lambda: SC.score_pairs(
                 pairs,
                 docs,
-                cfg.scoring,
+                score_cfg,
                 df_table=dft,
                 corpus_size=corpus_size,
                 spark=self.spark,
@@ -179,23 +194,78 @@ class Pipeline:
             resume,
         )
 
-        def build_cluster_edges():
-            e = scored.filter(
-                F.col("sim") >= cfg.similarity_threshold
-            ).select("id1", "id2").unionByName(exact_edges).distinct()
-            if cfg.use_negative_constraint and edges is not None:
-                e = BS.negative_constraint_filter(e, edges)
-            return e
+        def exact_preclusters():
+            # star edges -> (conv_id, cluster_id) pre-clusters for the merge
+            # loops (the reference bootstraps exact matches before clustering)
+            m = exact_edges.select(
+                F.col("id2").alias("conv_id"), F.col("id1").alias("cluster_id")
+            )
+            return (
+                docs.select("conv_id")
+                .join(m, "conv_id", "left")
+                .select(
+                    "conv_id",
+                    F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"),
+                )
+            )
 
-        cluster_edges = self._run_stage("cluster_edges", build_cluster_edges, resume)
+        if iterative:
+            # C5: round-synchronous relational re-scoring until fixpoint —
+            # merged clusters change neighborhoods, so rel features must be
+            # recomputed as merging proceeds (reference resolver.py:655-801)
+            from ..operators.iterative import resolve_iterative
 
-        clusters = self._run_stage(
-            "clusters",
-            lambda: CC.assign_clusters(
-                docs, CC.connected_components(cluster_edges)
-            ),
-            resume,
-        )
+            clusters = self._run_stage(
+                "clusters",
+                lambda: resolve_iterative(
+                    scored.select("id1", "id2", "attr_sim"),
+                    docs,
+                    edges,
+                    alpha=cfg.scoring.alpha,
+                    threshold=cfg.similarity_threshold,
+                    rel_strategy=cfg.rel_strategy,
+                    linkage=cfg.linkage,
+                    max_rounds=cfg.iterative_max_rounds,
+                    initial_assignment=exact_preclusters(),
+                ),
+                resume,
+            )
+        elif cfg.linkage != "max":
+            # G2: min/average linkage agglomerative merging
+            from ..operators.linkage import linkage_clustering
+
+            clusters = self._run_stage(
+                "clusters",
+                lambda: linkage_clustering(
+                    scored.select("id1", "id2", "sim"),
+                    docs,
+                    cfg.similarity_threshold,
+                    linkage=cfg.linkage,
+                    initial_assignment=exact_preclusters(),
+                ),
+                resume,
+            )
+        else:
+
+            def build_cluster_edges():
+                e = scored.filter(
+                    F.col("sim") >= cfg.similarity_threshold
+                ).select("id1", "id2").unionByName(exact_edges).distinct()
+                if cfg.use_negative_constraint and edges is not None:
+                    e = BS.negative_constraint_filter(e, edges)
+                return e
+
+            cluster_edges = self._run_stage(
+                "cluster_edges", build_cluster_edges, resume
+            )
+
+            clusters = self._run_stage(
+                "clusters",
+                lambda: CC.assign_clusters(
+                    docs, CC.connected_components(cluster_edges)
+                ),
+                resume,
+            )
 
         result = {
             "run_id": self.run_id,

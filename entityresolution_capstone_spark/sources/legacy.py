@@ -81,3 +81,41 @@ def write_graph_json(df: DataFrame, path: str, attr_names: list[str]) -> None:
         F.struct(*[F.col(a) for a in attr_names]).alias("attr_dict"),
     )
     out.write.mode("overwrite").json(path)
+
+
+def read_arxiv_dat(spark: SparkSession, path: str) -> DataFrame:
+    """Pipe-delimited arxiv author rows -> typed columns.
+
+    Same layout as citeseer (reference scripts.py:80-126 parses both with one
+    routine); arxiv has no corrupt ids to drop (the id-2716 filter is
+    citeseer-specific, scripts.py:96-106)."""
+    return read_citeseer_dat(spark, path, drop_corrupt_ids=())
+
+
+def prep_dat(
+    spark: SparkSession,
+    data: str,
+    graph_path: str,
+    ground_truth_path: str,
+    name: str = "citeseer",
+) -> None:
+    """CLI-parity port of the reference's prep-arxiv / prep-citeseer commands
+    (scripts.py:36-77): .dat -> graph.json (node_id, edge_id, attr_dict.name)
+    + ground_truth.json (node_id, cluster_id). Only column 3
+    (normalized_author) is kept as the 'name' attribute, per the reference."""
+    if name == "citeseer":
+        df = read_citeseer_dat(spark, data)
+    elif name == "arxiv":
+        df = read_arxiv_dat(spark, data)
+    else:
+        raise ValueError(f"unknown dataset: {name!r} (want 'arxiv' or 'citeseer')")
+    graph = df.select(
+        F.col("author_id").alias("node_id"),
+        F.col("paper_id").alias("edge_id"),
+        F.col("normalized_author").alias("name"),
+    )
+    write_graph_json(graph, graph_path, ["name"])
+    df.select(
+        F.col("author_id").alias("node_id"),
+        F.col("author_cluster_id").alias("cluster_id"),
+    ).write.mode("overwrite").json(ground_truth_path)

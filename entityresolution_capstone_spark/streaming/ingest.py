@@ -3,16 +3,29 @@
 The reference has no streaming surface at all (SURVEY.md §2.10) — this is new
 Spark-native capability required for a live transcript feed:
 
-- ``readStream`` over a growing directory of transcript parquet/json files;
-- watermark on ``ts`` + ``dropDuplicates`` on (conv_id, turn_idx) inside the
-  watermark: late duplicate turns (at-least-once upstreams) are dropped;
-- ``foreachBatch`` upsert: each micro-batch appends its turns to a staging
-  table and re-canonicalizes ONLY the conversations it touched (incremental
-  maintenance — a conversation's doc is a pure function of its turns, so
-  rebuilding touched convs from staging is exactly-once w.r.t. the sink).
+- ``readStream`` over a growing directory of transcript parquet files;
+- watermark on ``ts`` + ``dropDuplicatesWithinWatermark`` on
+  (conv_id, turn_idx): late duplicate turns (at-least-once upstreams) are
+  dropped, and the dedup state is EVICTED past the watermark horizon — plain
+  ``dropDuplicates`` without the event-time column would grow state forever;
+- ``foreachBatch`` upsert, bucket-partitioned: both the staging table and the
+  docs table are hash-partitioned on ``bucket = xxhash64(conv_id) % B``. Each
+  micro-batch (1) overwrites its OWN staging directory
+  (``staging/batch_id=<id>/``: a retried batch replaces its previous attempt
+  instead of appending a duplicate copy — idempotent, so the sink converges
+  under at-least-once foreachBatch execution), (2) re-canonicalizes only the
+  buckets the batch touched, reading them with partition pruning, and
+  (3) rewrites ONLY those bucket partitions of the docs table via dynamic
+  partition overwrite. Work per batch is O(touched buckets), not O(corpus).
+
+A conversation's doc is a pure function of its staged turns, so a replayed
+batch rewrites identical partitions (deterministic) — the docs table never
+accumulates duplicates, though a reader may observe a partition mid-rewrite
+on a crash-retry (the parquet sink is not transactional; use the manifest
+tables in sources/tables.py when atomicity is required).
 
 Run with ``trigger(availableNow=True)`` for backfills; continuous triggers for
-live feeds. State size is bounded by the watermark horizon.
+live feeds.
 """
 
 from __future__ import annotations
@@ -33,8 +46,14 @@ def read_transcript_stream(
         spark.readStream.schema(schemas.TRANSCRIPTS)
         .parquet(input_dir)
         .withWatermark("ts", watermark)
-        .dropDuplicates(["conv_id", "turn_idx"])
+        # WithinWatermark: state for a (conv_id, turn_idx) key is dropped once
+        # the watermark passes its event time — bounded state on a live feed
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
     )
+
+
+def _bucket_col(n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
 
 def start_ingest(
@@ -44,28 +63,50 @@ def start_ingest(
     docs_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    n_buckets: int = 16,
 ):
-    """Start (and return) the streaming query. Caller awaits termination."""
+    """Start (and return) the streaming query. Caller awaits termination.
+
+    ``n_buckets`` sizes the incremental-rewrite granularity: a micro-batch
+    touching k conversations rewrites at most min(k, n_buckets) docs
+    partitions, each ~corpus/n_buckets rows. Size it so one bucket's docs fit
+    a task comfortably (at 10^9 convs, n_buckets in the tens of thousands).
+    """
     stream = read_transcript_stream(spark, input_dir)
+    turn_cols = [f.name for f in schemas.TRANSCRIPTS.fields]
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch.persist()
-        batch.write.mode("append").parquet(staging_dir)
-        touched = [r["conv_id"] for r in batch.select("conv_id").distinct().collect()]
-        staged = spark.read.parquet(staging_dir).filter(F.col("conv_id").isin(touched))
-        docs = canonical_docs(staged)
-        # overwrite only the touched convs' doc partitions (tiny dynamic set)
-        if os.path.exists(docs_dir):
-            existing = spark.read.parquet(docs_dir).filter(
-                ~F.col("conv_id").isin(touched)
-            )
-            docs = existing.unionByName(docs)
-        docs.write.mode("overwrite").parquet(docs_dir + ".tmp")
-        tmp = spark.read.parquet(docs_dir + ".tmp")
-        tmp.write.mode("overwrite").parquet(docs_dir)
-        batch.unpersist()
+        b = batch.withColumn("bucket", _bucket_col(n_buckets)).persist()
+        # (1) idempotent staging: overwrite THIS batch's own directory
+        b.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(staging_dir, f"batch_id={batch_id}")
+        )
+        # touched buckets: bounded by n_buckets (no unbounded driver collect)
+        touched = sorted(r["bucket"] for r in b.select("bucket").distinct().collect())
+        b.unpersist()
+        # (2) rebuild docs for touched buckets only — partition pruning reads
+        # just those bucket directories across all staged batches
+        staged = (
+            spark.read.option("basePath", staging_dir)
+            .parquet(staging_dir)
+            .filter(F.col("bucket").isin(touched))
+            # stream-level dedup already dropped in-horizon duplicates; this
+            # catches replays that landed beyond the watermark horizon
+            .dropDuplicates(["conv_id", "turn_idx"])
+        )
+        docs = canonical_docs(staged.select(*turn_cols)).withColumn(
+            "bucket", _bucket_col(n_buckets)
+        )
+        # (3) dynamic partition overwrite: only partitions present in `docs`
+        # (== the touched buckets) are replaced; the rest are untouched
+        (
+            docs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(docs_dir)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(upsert)

@@ -29,7 +29,34 @@ def parse_weights(s: str) -> dict[str, float]:
     return out
 
 
+def prep_main(argv: list[str]) -> int:
+    """`main.py prep-arxiv|prep-citeseer` — CLI parity with the reference's
+    console entry points (scripts.py:36-77, setup.py:20-24)."""
+    name = argv[0].removeprefix("prep-")
+    ap = argparse.ArgumentParser(prog=f"main.py {argv[0]}")
+    ap.add_argument("--data", required=True, help=f"path of the {name} .dat file")
+    ap.add_argument("--graph", default="graph.json", help="output graph json dir")
+    ap.add_argument(
+        "--ground-truth", default="ground_truth.json", help="output ground truth json dir"
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv[1:])
+
+    from entityresolution_capstone_spark.session import get_spark
+    from entityresolution_capstone_spark.sources.legacy import prep_dat
+
+    spark = get_spark(app_name=f"ercs-{argv[0]}", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    prep_dat(spark, args.data, args.graph, args.ground_truth, name=name)
+    print(json.dumps({"graph": args.graph, "ground_truth": args.ground_truth}))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] in ("prep-arxiv", "prep-citeseer"):
+        return prep_main(argv)
     ap = argparse.ArgumentParser(description="PySpark entity-resolution pipeline")
     ap.add_argument("--transcripts", help="parquet path of transcript turns")
     ap.add_argument("--labels", help="optional parquet path of ground-truth labels")

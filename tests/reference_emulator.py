@@ -158,3 +158,128 @@ def resolve(
         for m in members:
             out[m] = rep
     return out
+
+
+# ---------------------------------------------------------------------------
+# alpha > 0 extension: relational (jaccard / adar) kernels + merge loops.
+# Scalar re-implementation of the reference's cluster-level relational
+# machinery (resolver.py:1018-1100, utils.py:456-637) for pinning the
+# distributed operators; shares no code with the reference.
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def cluster_nbr_multiset(assign: dict, edges: dict) -> dict:
+    """cluster -> multiset (dict nbr_cluster -> count) of neighbor clusters.
+
+    edges: node -> edge_id (one hyper-edge per node, citeseer shape).
+    A node's neighbors are all co-members of its edge INCLUDING itself.
+    """
+    by_edge = {}
+    for node, e in edges.items():
+        by_edge.setdefault(e, []).append(node)
+    out = {}
+    for node, e in edges.items():
+        c = assign[node]
+        m = out.setdefault(c, {})
+        for other in by_edge[e]:
+            oc = assign[other]
+            m[oc] = m.get(oc, 0) + 1
+    return out
+
+
+def rel_sim_scalar(n1: dict, n2: dict, strategy: str, uniq=None) -> float:
+    """Relational similarity of two neighbor multisets under the strategy."""
+    multiset = strategy.endswith("_fr")
+    keys = set(n1) | set(n2)
+    if strategy.startswith("jaccard"):
+        if multiset:
+            num = sum(min(n1.get(k, 0), n2.get(k, 0)) for k in keys)
+            den = sum(max(n1.get(k, 0), n2.get(k, 0)) for k in keys)
+        else:
+            num = len(set(n1) & set(n2))
+            den = len(keys)
+        return num / den if den else 0.0
+    # adar: uniqueness-weighted
+    num = den = 0.0
+    for k in keys:
+        u = uniq(k)
+        if multiset:
+            num += min(n1.get(k, 0), n2.get(k, 0)) * u
+            den += max(n1.get(k, 0), n2.get(k, 0)) * u
+        else:
+            num += u if (k in n1 and k in n2) else 0.0
+            den += u
+    return num / den if den else 0.0
+
+
+def make_uniq_fn(nbrs: dict, strategy: str):
+    """u(c) = 1/(1+ln(n_c)); n = distinct (set) vs multiset neighbor count."""
+    multiset = strategy.endswith("_fr")
+
+    def u(c):
+        m = nbrs.get(c, {})
+        n = sum(m.values()) if multiset else len(m)
+        return 1.0 / (1.0 + math.log(n)) if n else 1.0
+
+    return u
+
+
+def resolve_alpha_rounds(
+    ids, node_scores, edges, alpha, threshold,
+    strategy="jaccard_coef", linkage="max", max_rounds=10,
+):
+    """Round-synchronous alpha-mixed merging — the distributed operator's
+    contract (operators/iterative.py), scalar. Returns node -> cluster label.
+
+    node_scores: {(id1, id2): attr_sim} unordered; missing pairs score 0.
+    """
+    assign = {i: i for i in ids}
+    for _ in range(max_rounds):
+        # cluster-pair attr linkage over member products (missing -> 0.0)
+        members = {}
+        for n, c in assign.items():
+            members.setdefault(c, []).append(n)
+        cand = set()
+        for (a, b) in node_scores:
+            ca, cb = assign[a], assign[b]
+            if ca != cb:
+                cand.add((min(ca, cb), max(ca, cb)))
+        nbrs = cluster_nbr_multiset(assign, edges)
+        uniq = make_uniq_fn(nbrs, strategy) if strategy.startswith("adar") else None
+
+        def attr_link(ca, cb):
+            vals = [
+                node_scores.get((min(x, y), max(x, y)), 0.0)
+                for x in members[ca]
+                for y in members[cb]
+            ]
+            if linkage == "min":
+                return min(vals)
+            if linkage == "average":
+                return sum(vals) / len(vals)
+            return max(vals)
+
+        merges = []
+        for ca, cb in sorted(cand):
+            rel = rel_sim_scalar(nbrs.get(ca, {}), nbrs.get(cb, {}), strategy, uniq)
+            sim = (1 - alpha) * attr_link(ca, cb) + alpha * rel
+            if sim >= threshold:
+                merges.append((ca, cb))
+        if not merges:
+            break
+        parent = {c: c for c in members}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ca, cb in merges:
+            ra, rb = find(ca), find(cb)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        assign = {n: find(c) for n, c in assign.items()}
+    return assign

@@ -70,3 +70,39 @@ def test_plot_prc_gated(spark):
         import os
 
         assert os.path.exists(out)
+
+
+def test_custom_blocking_key_fn(spark):
+    """BlockingConfig.custom_key_fn: a user key generator participates in
+    block building alongside (or instead of) the built-in sources."""
+    from pyspark.sql import functions as F
+
+    from entityresolution_capstone_spark.operators import blocking as B
+
+    docs = spark.createDataFrame(
+        [("c1", ["alpha", "beta"]), ("c2", ["alpha", "gamma"]), ("c3", ["delta"])],
+        "conv_id string, tokens array<string>",
+    )
+
+    def first_token_key(d):
+        return d.select(
+            "conv_id",
+            F.concat(F.lit("cust:"), F.element_at("tokens", 1)).alias("block_key"),
+        )
+
+    cfg = B.BlockingConfig(
+        use_token_keys=False, use_minhash=False, custom_key_fn=first_token_key
+    )
+    tdict = spark.createDataFrame([("alpha", 2)], "token string, df long")
+    blocks = B.build_blocks(docs, tdict, cfg)
+    pairs = B.candidate_pairs(blocks, cfg).collect()
+    assert [(r["id1"], r["id2"]) for r in pairs] == [("c1", "c2")]
+
+    def bad_key(d):
+        return d.select("conv_id")
+
+    cfg_bad = B.BlockingConfig(use_token_keys=False, use_minhash=False, custom_key_fn=bad_key)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_key"):
+        B.build_blocks(docs, tdict, cfg_bad)

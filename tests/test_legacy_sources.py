@@ -56,3 +56,34 @@ def test_citeseer_dat_parsing_and_corrupt_drop(spark, tmpdir_path):
     df = L.read_citeseer_dat(spark, p)
     got = sorted((r["author_id"], r["normalized_author"], r["paper_id"]) for r in df.collect())
     assert got == [(100, "smith_j", 900), (101, "smith_j", 900)]
+
+
+def test_prep_dat_arxiv_roundtrip(spark, tmp_path):
+    """prep-arxiv CLI parity: .dat -> graph.json + ground_truth.json with the
+    reference's column mapping (normalized_author -> attr 'name'), and no
+    citeseer-specific id filtering."""
+    from entityresolution_capstone_spark.sources.legacy import (
+        prep_dat,
+        read_graph_json,
+        read_ground_truth_json,
+    )
+
+    dat = tmp_path / "arxiv.dat"
+    rows = [
+        "2716 | 5 | j smith | John Smith | 1 | 100 | 900 | Some Title",
+        "2 | 5 | j smith | J. Smith | 2 | 100 | 900 | Some Title",
+        "3 | 7 | a jones | Ann Jones | 1 | 101 | 901 | Other Title",
+    ]
+    dat.write_text("\n".join(rows) + "\n")
+    graph_dir = str(tmp_path / "graph.json")
+    gt_dir = str(tmp_path / "gt.json")
+    prep_dat(spark, str(dat), graph_dir, gt_dir, name="arxiv")
+
+    g = read_graph_json(spark, graph_dir, ["name"])
+    got = sorted((r["node_id"], r["edge_id"], r["name"]) for r in g.collect())
+    # arxiv keeps id 2716 (the drop is citeseer-specific)
+    assert got == [(2, 100, "j smith"), (3, 101, "a jones"), (2716, 100, "j smith")]
+    gt = read_ground_truth_json(spark, gt_dir)
+    assert sorted((r["node_id"], r["cluster_id"]) for r in gt.collect()) == [
+        (2, 5), (3, 7), (2716, 5),
+    ]

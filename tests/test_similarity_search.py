@@ -68,3 +68,28 @@ def test_lsh_buckets_deterministic(spark, embeddings):
     b1 = sorted(S.lsh_bucket_keys(embeddings).collect())
     b2 = sorted(S.lsh_bucket_keys(embeddings.repartition(5)).collect())
     assert b1 == b2
+
+
+def test_ann_bucket_skew_cap(spark):
+    """A degenerate all-zero embedding cluster lands in one bucket; the cap
+    excludes it from the candidate join and reports it, while distinctive
+    vectors still resolve."""
+    import random
+
+    rng = random.Random(7)
+    # 60 all-zero vectors (one degenerate bucket) + 8 distinctive ones
+    rows = [(i, [0.0] * 8) for i in range(60)]
+    rows += [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = S.lsh_bucket_keys(emb, n_planes=4, n_tables=1)
+    metrics = S.bucket_size_metrics(buckets, max_bucket_size=20).collect()
+    dropped = [r for r in metrics if r["dropped"]]
+    assert dropped and max(r["size"] for r in dropped) >= 60  # reported, not silent
+
+    queries = emb.filter(F.col("vec_id") >= 100).limit(2)
+    out = S.ann_topk(
+        emb, queries, k=3, n_planes=4, n_tables=1, max_bucket_size=20
+    ).collect()
+    # no candidate row may come from the degenerate bucket's members
+    assert out, "capped ANN still returns candidates for distinctive queries"
+    assert all(r["neighbor_id"] >= 100 for r in out)

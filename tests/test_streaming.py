@@ -43,6 +43,103 @@ def test_stream_backfill_matches_batch(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_incremental_upsert_rewrites_only_touched_buckets(spark):
+    """A second ingest run that touches one conversation must rewrite only
+    that conversation's bucket partition of the docs table — the other bucket
+    directories' files stay byte-identical (incremental maintenance, not an
+    O(corpus) rewrite per micro-batch)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    spec = datagen.CorpusSpec(n_entities=6, convs_per_entity=2, seed=23)
+    transcripts, _ = datagen.corpus_dataframes(spark, spec)
+    base = tempfile.mkdtemp(prefix="ercs_incr_")
+    input_dir = os.path.join(base, "in")
+    dirs = dict(
+        staging_dir=os.path.join(base, "staging"),
+        docs_dir=os.path.join(base, "docs"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    transcripts.write.mode("overwrite").parquet(input_dir)
+    q = start_ingest(spark, input_dir=input_dir, available_now=True, n_buckets=8, **dirs)
+    q.awaitTermination(180)
+
+    def snapshot():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(dirs["docs_dir"], "bucket=*", "*.parquet"))
+        }
+
+    before = snapshot()
+    # second run: one new turn for ONE conversation
+    one = transcripts.orderBy("conv_id").limit(1).select(
+        "conv_id",
+        (F.lit(10_000)).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("extra turn text").alias("text"),
+        F.lit("").alias("tool"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("ts"),
+    )
+    conv_id = one.collect()[0]["conv_id"]
+    touched_bucket = one.select(
+        F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    one.write.mode("append").parquet(input_dir)
+    q = start_ingest(spark, input_dir=input_dir, available_now=True, n_buckets=8, **dirs)
+    q.awaitTermination(180)
+
+    after = snapshot()
+    untouched_before = {p: m for p, m in before.items() if f"bucket={touched_bucket}/" not in p}
+    untouched_after = {p: m for p, m in after.items() if f"bucket={touched_bucket}/" not in p}
+    assert untouched_before == untouched_after  # other buckets not rewritten
+    # and the touched conversation's doc now includes the extra turn
+    doc = (
+        spark.read.parquet(dirs["docs_dir"])
+        .filter(F.col("conv_id") == conv_id)
+        .collect()[0]["doc"]
+    )
+    assert doc.endswith("extra turn text")
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_batch_replay_is_idempotent(spark):
+    """Re-running the same input through a FRESH checkpoint (the worst-case
+    replay: every batch re-executes) must leave the docs table identical —
+    per-batch staging overwrite + deterministic rebuild, no duplicate docs."""
+    spec = datagen.CorpusSpec(n_entities=5, convs_per_entity=2, seed=29)
+    transcripts, _ = datagen.corpus_dataframes(spark, spec)
+    base = tempfile.mkdtemp(prefix="ercs_replay_")
+    input_dir = os.path.join(base, "in")
+    transcripts.write.mode("overwrite").parquet(input_dir)
+
+    def run(ckpt):
+        q = start_ingest(
+            spark,
+            input_dir=input_dir,
+            staging_dir=os.path.join(base, "staging"),
+            docs_dir=os.path.join(base, "docs"),
+            checkpoint_dir=os.path.join(base, ckpt),
+            available_now=True,
+            n_buckets=4,
+        )
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    first = sorted(
+        (r["conv_id"], r["doc"])
+        for r in spark.read.parquet(os.path.join(base, "docs")).collect()
+    )
+    run("ckpt2")  # replays batch 0 over the same staging/docs tables
+    second = sorted(
+        (r["conv_id"], r["doc"])
+        for r in spark.read.parquet(os.path.join(base, "docs")).collect()
+    )
+    assert first == second
+    assert len(first) == len({c for c, _ in first})  # no duplicated conv docs
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_stateful_turn_counts_across_restarts(spark):
     """State survives a query restart (checkpointed) and final counts match
     the batch aggregation."""
