@@ -15,7 +15,9 @@ Design rules that make the oracle comparison exact:
   in any SQL dialect (no engine hash builtins);
 - doubles are rounded (6 dp) in BOTH engines; Jaro-Winkler gets no SQL oracle
   because DuckDB's jaro matching variant intentionally diverges from the
-  reference's py_stringmatching semantics (see tests/test_kernels.py).
+  reference's py_stringmatching semantics (see tests/test_kernels.py). Every
+  other metric — including AMI's hypergeometric expected-mutual-information
+  term — has an exact DuckDB oracle (lgamma + lateral range for the EMI sum).
 """
 
 from __future__ import annotations
@@ -1498,9 +1500,80 @@ ORACLES["er_prc_sweep"] = SQL_ER_PRC_SWEEP
 
 
 # ---------------------------------------------------------------------------
-# information-theoretic metrics (E2/E3) — rows-only checks: the AMI expected-
-# mutual-information term (hypergeometric sum) is not ANSI-SQL-expressible
+# information-theoretic metrics (E2/E3) — full DuckDB oracles: entropies and
+# MI are plain aggregations over the contingency table; even the AMI
+# expected-mutual-information term (hypergeometric sum, Vinh/Epps/Bailey
+# 2010) is expressible with lgamma + a lateral range over the nij support.
 # ---------------------------------------------------------------------------
+
+# shared: labels/preds contingency + marginals + MI + marginal entropies
+_METRIC_CTE = (
+    CANON_CTE
+    + """,
+preds as (
+    select conv_id, min(conv_id) over (partition by doc) as cluster_id from canon
+),
+labels as (
+    select printf('c%06d', doc_id) as conv_id, doc_id % 97 as entity_id from documents
+),
+j as (select l.entity_id, p.cluster_id from labels l join preds p using (conv_id)),
+cont as (
+    select entity_id, cluster_id, count(*)::double as nij from j group by 1, 2
+),
+n_tot as (select count(*)::double as n from j),
+marg_a as (select entity_id, sum(nij) as ai from cont group by 1),
+marg_b as (select cluster_id, sum(nij) as bj from cont group by 1),
+mi as (
+    select sum((nij / n) * ln(n * nij / (ai * bj))) as v
+    from cont join marg_a using (entity_id) join marg_b using (cluster_id)
+    cross join n_tot
+),
+h1 as (select -sum((ai / n) * ln(ai / n)) as v from marg_a cross join n_tot),
+h2 as (select -sum((bj / n) * ln(bj / n)) as v from marg_b cross join n_tot)"""
+)
+
+SQL_ER_EVAL_VMEASURE = (
+    "with "
+    + _METRIC_CTE
+    + """
+select round(case when homog + compl = 0 then 0.0
+             else 2 * homog * compl / (homog + compl) end, 6) + 0.0 as v_measure
+from (
+    select case when h1.v = 0 then 1.0
+                else greatest(0.0, 1.0 - (h1.v - mi.v) / h1.v) end as homog,
+           case when h2.v = 0 then 1.0
+                else greatest(0.0, 1.0 - (h2.v - mi.v) / h2.v) end as compl
+    from mi, h1, h2
+)"""
+)
+
+# EMI: for every (ai, bj) marginal pair, sum the hypergeometric expectation
+# over the feasible nij support [max(1, ai+bj-n), min(ai, bj)]
+SQL_ER_EVAL_AMI = (
+    "with "
+    + _METRIC_CTE
+    + """,
+emi as (
+    select sum(
+        (nij / n) * ln(n * nij / (ai * bj)) *
+        exp(lgamma(ai + 1) + lgamma(bj + 1) + lgamma(n - ai + 1)
+            + lgamma(n - bj + 1) - lgamma(n + 1) - lgamma(nij + 1)
+            - lgamma(ai - nij + 1) - lgamma(bj - nij + 1)
+            - lgamma(n - ai - bj + nij + 1))
+    ) as v
+    from (
+        select ai, bj, n, u.nij::double as nij
+        from marg_a cross join marg_b cross join n_tot,
+             lateral (
+                 select unnest(range(cast(greatest(1, ai + bj - n) as bigint),
+                                     cast(least(ai, bj) as bigint) + 1)) as nij
+             ) u
+    )
+)
+select round(case when greatest(h1.v, h2.v) - emi.v = 0 then 1.0
+             else (mi.v - emi.v) / (greatest(h1.v, h2.v) - emi.v) end, 6) + 0.0 as ami
+from mi, emi, h1, h2"""
+)
 
 def _metric_inputs(spark, sf_dir):
     t = derive_transcripts(spark, sf_dir)
@@ -1518,18 +1591,21 @@ def q_er_eval_ami(spark, sf_dir):
     from .. import evaluate as E
 
     labels, preds = _metric_inputs(spark, sf_dir)
-    score = float(E.ami_score(labels, preds))
-    return spark.createDataFrame([(round(score, 6),)], "ami double")
+    # + 0.0 collapses IEEE -0.0 to 0.0 (the two engines may land on opposite
+    # signs of zero after rounding a ~1e-17 residue)
+    score = round(float(E.ami_score(labels, preds)), 6) + 0.0
+    return spark.createDataFrame([(score,)], "ami double")
 
 
 def q_er_eval_vmeasure(spark, sf_dir):
     from .. import evaluate as E
 
     labels, preds = _metric_inputs(spark, sf_dir)
-    score = float(E.v_measure_score(labels, preds))
-    return spark.createDataFrame([(round(score, 6),)], "v_measure double")
+    score = round(float(E.v_measure_score(labels, preds)), 6) + 0.0
+    return spark.createDataFrame([(score,)], "v_measure double")
 
 
 QUERIES["er_eval_ami"] = q_er_eval_ami
 QUERIES["er_eval_vmeasure"] = q_er_eval_vmeasure
-# no ORACLES entries: driver records rows-only checks for these two
+ORACLES["er_eval_ami"] = SQL_ER_EVAL_AMI
+ORACLES["er_eval_vmeasure"] = SQL_ER_EVAL_VMEASURE

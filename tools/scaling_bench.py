@@ -101,6 +101,10 @@ def main():
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # one run -> BOTH artifacts (BASELINE.md + scaling_run.json), so the
+    # committed evidence can never disagree with itself
+    with open(os.path.join(REPO, "BENCH", "scaling_run.json"), "w") as f:
+        json.dump(summary, f, indent=2)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH baseline — scaling evidence (N vs 4N parallelism)
