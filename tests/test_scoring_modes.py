@@ -100,3 +100,61 @@ def test_slim_matches_detailed_attr_sim(spark, small):
     assert set(a) == set(b)
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9, k
+
+
+def test_slim_tfidf_only_keeps_all_pairs(spark):
+    """tfidf-only weights: pairs with NO shared token (cosine 0) must still
+    appear in score_pairs_slim output with attr_sim 0.0 (ADVICE fix: the
+    sparse dot-product inner join used to drop them)."""
+    from pyspark.sql import functions as F
+
+    from entityresolution_capstone_spark.functions.tfidf import doc_frequencies
+    from entityresolution_capstone_spark.operators.scoring import (
+        ScoringConfig,
+        score_pairs_slim,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("c1", "alpha beta", ["alpha", "beta"]),
+            ("c2", "alpha gamma", ["alpha", "gamma"]),
+            ("c3", "delta", ["delta"]),
+            ("c4", "", []),  # token-less doc
+        ],
+        "conv_id string, doc_prefix string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("c1", "c2"), ("c1", "c3"), ("c3", "c4")], "id1 string, id2 string"
+    )
+    dft = doc_frequencies(docs)
+    out = score_pairs_slim(
+        pairs, docs, ScoringConfig(weights={"tfidf": 1.0}),
+        df_table=dft, corpus_size=4,
+    )
+    rows = {(r["id1"], r["id2"]): r["attr_sim"] for r in out.collect()}
+    assert set(rows) == {("c1", "c2"), ("c1", "c3"), ("c3", "c4")}
+    assert rows[("c1", "c3")] == 0.0 and rows[("c3", "c4")] == 0.0
+    assert rows[("c1", "c2")] > 0.0
+
+
+def test_stfidf_vocab_cap_raises(spark):
+    """The stfidf DF-dict broadcast is hard-capped with a clear error."""
+    import pytest as _pytest
+
+    from entityresolution_capstone_spark.functions.tfidf import doc_frequencies
+    from entityresolution_capstone_spark.operators.scoring import (
+        ScoringConfig,
+        score_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("c%d" % i, "t%d u%d" % (i, i), ["t%d" % i, "u%d" % i]) for i in range(30)],
+        "conv_id string, doc_prefix string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("c%d" % i, "c%d" % (i + 1)) for i in range(29)], "id1 string, id2 string"
+    )
+    dft = doc_frequencies(docs)
+    cfg = ScoringConfig(weights={"stfidf": 1.0}, stfidf_max_vocab=10)
+    with _pytest.raises(ValueError, match="stfidf_max_vocab"):
+        score_pairs(pairs, docs, cfg, df_table=dft, corpus_size=30, spark=spark)

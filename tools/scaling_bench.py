@@ -51,6 +51,22 @@ def run_level(cpus: int, sf_dir: str, pyfiles: str, trials: int = 3) -> dict:
     return best
 
 
+def _cpu_pin(cpus: int) -> list[str]:
+    """Pin the whole process tree (JVM + pandas-UDF python workers) to
+    exactly ``cpus`` cores.
+
+    ``local[N]`` bounds only JVM task threads; Arrow python workers are
+    EXTRA OS processes outside that budget, and the Arrow runner pipelines
+    them against JVM compute. Unpinned, the small level silently borrows
+    idle cores (measured: component times at local[2] sum to 727s but wall
+    is 510s — 30% borrowed CPU; only 7% at local[8]), which deflates the
+    N-vs-4N efficiency ratio. An N-executor cluster has exactly N cores'
+    worth of machine — pinning makes the emulation mean that."""
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{cpus - 1}"]
+    return []
+
+
 def _run_level_once(cpus: int, sf_dir: str, pyfiles: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
@@ -58,7 +74,7 @@ def _run_level_once(cpus: int, sf_dir: str, pyfiles: str) -> dict:
     spark_submit = shutil.which("spark-submit")
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     if spark_submit:
-        cmd = [
+        cmd = _cpu_pin(cpus) + [
             spark_submit,
             "--master", f"local[{cpus}]",
             "--driver-memory", mem,
@@ -67,7 +83,7 @@ def _run_level_once(cpus: int, sf_dir: str, pyfiles: str) -> dict:
             os.path.join(REPO, "bench.py"),
         ]
     else:  # fall back to plain python (same code path; bench builds the session)
-        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        cmd = _cpu_pin(cpus) + [sys.executable, os.path.join(REPO, "bench.py")]
     out = subprocess.run(
         cmd, env=env, cwd=REPO, capture_output=True, text=True, timeout=3600
     )
@@ -110,7 +126,10 @@ def main():
             f"""# BENCH baseline — scaling evidence (N vs 4N parallelism)
 
 Identical job (bench.py headline queries) on identical input (`{sf_dir}`),
-run via spark-submit --py-files at two parallelism levels. Throughput metric:
+run via spark-submit --py-files at two parallelism levels, each level's
+process tree PINNED to exactly that many cores with `taskset` (local[N]
+bounds JVM task threads only; unpinned pandas-UDF python workers would let
+the small level borrow idle cores and deflate the ratio). Throughput metric:
 candidate-pairs-scored/sec — the q_score stage scores the full salted
 candidate set with the complete kernel stack (vectorized Jaro-Winkler pandas
 UDF + JVM scaled-Levenshtein + TF-IDF cosine, 128-char prefixes); blocking /
