@@ -97,10 +97,11 @@ def _run_level_once(cpus: int, sf_dir: str, pyfiles: str) -> dict:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
     pyfiles = make_pyfiles_zip()
 
-    r_n = run_level(n, sf_dir, pyfiles)
-    r_4n = run_level(4 * n, sf_dir, pyfiles)
+    r_n = run_level(n, sf_dir, pyfiles, trials=trials)
+    r_4n = run_level(4 * n, sf_dir, pyfiles, trials=trials)
 
     thr_n = r_n["value"]
     thr_4n = r_4n["value"]
