@@ -92,6 +92,102 @@ def dedup_token_dict(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# shared: skew-safe bucket self-join (pair enumeration)
+# ---------------------------------------------------------------------------
+
+def bucket_pairs(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "bkey",
+    salt_bucket_size: int = 1000,
+    salt_factor: int = 8,
+    payload_col: str | None = None,
+    pair_filter=None,
+) -> DataFrame:
+    """(id1 < id2) pairs of ids sharing a bucket key, skew-safe, dedupe-cheap.
+
+    Skew: near-dup-heavy corpora put a large fraction of the corpus into a
+    handful of band buckets (measured at sf0.1: 4 buckets of ~2,300 of 5,000
+    docs); a naive self-join then materializes O(s²) pairs of each hot bucket
+    in ONE task — the straggler that keeps the dedup family flat across cores
+    and is fatal at 100x scale. Buckets larger than ``salt_bucket_size`` go
+    through :func:`blocking.salted_pairs` (sub-bucket composite keys:
+    C(g+1, 2) evenly-sized tasks per hot bucket); the rest take the plain
+    self-join. Pair set is identical to the naive join (pinned in
+    tests/test_dedup.py).
+
+    Dedupe: without ``pair_filter``, cross-bucket duplicates are removed with
+    ``distinct()`` — a full shuffle of the pair set (measured: 15s of the
+    18s enumeration at sf0.1; at 10^10 pairs it's the dominant exchange).
+    With ``payload_col`` + ``pair_filter(p1, p2)``, the filter runs per
+    joined row INSTEAD of the distinct — callers use the first-matching-band
+    pattern (keep a pair only in the lowest band whose keys collide) so each
+    pair survives exactly once and the pair set never shuffles at all.
+    """
+    from .blocking import salted_pairs
+
+    sel = [F.col(key_col).alias("block_key"), F.col(id_col).alias("conv_id")]
+    if payload_col:
+        sel.append(F.col(payload_col).alias("_p"))
+    b = buckets.select(*sel)
+    parts = []
+    if salt_bucket_size:
+        sizes = b.groupBy("block_key").agg(F.count("*").alias("_sz"))
+        hot = F.broadcast(
+            sizes.filter(F.col("_sz") > salt_bucket_size).select("block_key")
+        )
+        parts.append(
+            salted_pairs(
+                b.join(hot, "block_key", "left_semi"),
+                salt_factor,
+                payload_col="_p" if payload_col else None,
+            )
+        )
+        b = b.join(hot, "block_key", "left_anti")
+    pay1 = [F.col("_p").alias("p1")] if payload_col else []
+    pay2 = [F.col("_p").alias("p2")] if payload_col else []
+    # pin the join input partitioning: the bucket rows are tiny but the join
+    # OUTPUT explodes quadratically, and AQE coalesces exchanges by INPUT
+    # size — left alone it merges this shuffle into 1-2 partitions and the
+    # entire pair stream (plus any downstream broadcast-join work pipelined
+    # into the same tasks) runs on 1-2 cores (measured: 107s -> 32s at sf0.1)
+    n_part = int(b.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = b.select("block_key", F.col("conv_id").alias("id1"), *pay1).repartition(
+        n_part, "block_key"
+    )
+    c = b.select("block_key", F.col("conv_id").alias("id2"), *pay2).repartition(
+        n_part, "block_key"
+    )
+    parts.append(
+        a.join(c, "block_key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", *(["p1", "p2"] if payload_col else []))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if pair_filter is not None:
+        return out.filter(pair_filter(F.col("p1"), F.col("p2"))).select("id1", "id2")
+    return out.select("id1", "id2").distinct()
+
+
+def first_band_match(p1, p2):
+    """Keep a pair only in the FIRST band whose keys collide.
+
+    Payload contract: ``p = struct(band int, keys array<string>)`` where
+    ``keys[b]`` is the full band-b bucket key. The pair joined in band
+    ``p1.band`` survives iff no earlier band's keys are equal — so every
+    colliding pair is emitted exactly once across bands with NO distinct().
+    """
+    earlier = F.zip_with(
+        F.slice(p1["keys"], F.lit(1), p1["band"]),
+        F.slice(p2["keys"], F.lit(1), p2["band"]),
+        lambda x, y: x == y,
+    )
+    return ~F.exists(earlier, lambda v: v)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -101,6 +197,8 @@ class MinHashConfig:
     bands: int = 8
     seed: int = 7
     jaccard_threshold: float = 0.7
+    salt_bucket_size: int = 1000
+    salt_factor: int = 8
 
 
 def minhash_candidate_pairs(
@@ -122,14 +220,20 @@ def minhash_candidate_pairs(
             "_",
             F.lit(str(band)),
             *[F.col(f"h{band * cfg.rows + r}").cast("string") for r in range(cfg.rows)],
-        ).alias("bkey")
+        )
         for band in range(cfg.bands)
     ]
-    buckets = sig.select("doc_id", F.explode(F.array(*bands)).alias("bkey"))
-    a = buckets.select("bkey", F.col("doc_id").alias("id1"))
-    b = buckets.select("bkey", F.col("doc_id").alias("id2"))
-    return (
-        a.join(b, "bkey").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    buckets = (
+        sig.select("doc_id", F.array(*bands).alias("keys"))
+        .select("doc_id", "keys", F.posexplode("keys").alias("band", "bkey"))
+        .select("doc_id", "bkey", F.struct("band", "keys").alias("p"))
+    )
+    return bucket_pairs(
+        buckets,
+        salt_bucket_size=cfg.salt_bucket_size,
+        salt_factor=cfg.salt_factor,
+        payload_col="p",
+        pair_filter=first_band_match,
     )
 
 
@@ -220,6 +324,8 @@ class SimHashConfig:
     bands: int = 4
     seed: int = 13
     max_hamming: int = 3
+    salt_bucket_size: int = 1000
+    salt_factor: int = 8
 
 
 def simhash_fingerprints(
@@ -266,13 +372,21 @@ def simhash_duplicates(documents: DataFrame, cfg: SimHashConfig | None = None) -
             "_",
             F.lit(str(i)),
             F.array_join(F.slice("bits", i * per_band + 1, per_band), ""),
-        ).alias("bkey")
+        )
         for i in range(cfg.bands)
     ]
-    buckets = fps.select("doc_id", F.explode(F.array(*band_keys)).alias("bkey"))
-    a = buckets.select("bkey", F.col("doc_id").alias("id1"))
-    b = buckets.select("bkey", F.col("doc_id").alias("id2"))
-    cand = a.join(b, "bkey").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
+    buckets = (
+        fps.select("doc_id", F.array(*band_keys).alias("keys"))
+        .select("doc_id", "keys", F.posexplode("keys").alias("band", "bkey"))
+        .select("doc_id", "bkey", F.struct("band", "keys").alias("p"))
+    )
+    cand = bucket_pairs(
+        buckets,
+        salt_bucket_size=cfg.salt_bucket_size,
+        salt_factor=cfg.salt_factor,
+        payload_col="p",
+        pair_filter=first_band_match,
+    )
     f1 = fps.select(F.col("doc_id").alias("id1"), F.col("bits").alias("bits1"))
     f2 = fps.select(F.col("doc_id").alias("id2"), F.col("bits").alias("bits2"))
     return (
@@ -348,11 +462,7 @@ def embedding_cosine_duplicates(
         from .similarity_search import lsh_bucket_keys
 
         keys = lsh_bucket_keys(v.select(F.col("id"), F.col("v")), "id", "v", n_planes)
-        a = keys.select("bucket", F.col("id").alias("id1"))
-        b = keys.select("bucket", F.col("id").alias("id2"))
-        pairs = (
-            a.join(b, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
-        )
+        pairs = bucket_pairs(keys, id_col="id", key_col="bucket")
     else:
         a = v.select(F.col("id").alias("id1"))
         b = v.select(F.col("id").alias("id2"))

@@ -598,7 +598,12 @@ tok_ids as (
 
 
 def q_dedup_minhash(spark, sf_dir):
-    dups = D.minhash_duplicates(load(spark, sf_dir, "documents"), _MH)
+    # array verify: these docs are short (~25 distinct tokens), so per-row
+    # array_intersect beats the explode route's row amplification (measured
+    # at sf0.1 / local[8]: 14.9s vs 26.4s for the same 2.83M verified pairs)
+    dups = D.minhash_duplicates(
+        load(spark, sf_dir, "documents"), _MH, verify_strategy="array"
+    )
     return dups.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 

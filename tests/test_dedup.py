@@ -107,3 +107,23 @@ def test_jaccard_verify_array_matches_explode(spark, documents, docs):
     ra = sorted((r["id1"], r["id2"], round(r["jaccard"], 9)) for r in a.collect())
     rb = sorted((r["id1"], r["id2"], round(r["jaccard"], 9)) for r in b.collect())
     assert ra == rb
+
+
+def test_bucket_pairs_salted_matches_naive(spark, docs):
+    """Skew-sliced pair enumeration == naive self-join, on real hot buckets.
+
+    The sf0.001 token-soup corpus drives ~half the docs into single minhash
+    band buckets, so forcing a tiny salt threshold exercises the salted path
+    on genuinely hot keys.
+    """
+    cfg = D.MinHashConfig(rows=4, bands=4, seed=7)
+    tdict = D.dedup_token_dict(docs)
+    naive = D.minhash_candidate_pairs(
+        docs, tdict, D.MinHashConfig(rows=4, bands=4, seed=7, salt_bucket_size=0)
+    )
+    salted = D.minhash_candidate_pairs(
+        docs, tdict, D.MinHashConfig(rows=4, bands=4, seed=7, salt_bucket_size=5, salt_factor=4)
+    )
+    a = {(r["id1"], r["id2"]) for r in naive.collect()}
+    b = {(r["id1"], r["id2"]) for r in salted.collect()}
+    assert a == b and len(a) > 0
