@@ -165,3 +165,163 @@ def ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN: coarse k-means quantizer + exact in-cell cosine
+# ---------------------------------------------------------------------------
+#
+# The scale path the LSH variant doesn't cover: a learned partition of the
+# corpus (inverted file) so each query scans only `nprobe` cells instead of
+# hash-collision buckets. Reference pattern: IVF-Flat (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", PAMI 2011, §IV-A — coarse
+# quantizer only, no residual codes).
+#
+# Everything the quantizer does is EXACT integer arithmetic so the clustering
+# is bit-reproducible across engines and partitionings (required for the
+# DuckDB oracle, and it makes the index deterministic under re-runs):
+#   - vectors are fixed-point quantized: qe_d = floor(1000 * x_d + 0.5)
+#   - a centroid is (S, c): elementwise int64 sum of member vectors + count
+#     (never the float mean)
+#   - squared L2 distance to the implied mean S/c is compared via
+#     d = sum_d (c*x_d - S_d)^2 / c^2: the numerator is an exact int64
+#     (|.| < 2^53 at any realistic cell size), ONE double division at the
+#     end — no FP accumulation-order dependence anywhere.
+# Cells that lose all members drop out deterministically. Seeds are the
+# n_cells vectors with smallest (48271*id + seed) mod P — arithmetic, not
+# sampled. Per-round centroid state is k rows collected to the driver
+# (bounded by n_cells, the legitimate scalar-aggregate collect class); each
+# round restarts the plan from a literal centroid table, so the Lloyd loop
+# never nests lineage.
+
+IVF_QUANT = 1000
+
+
+def _ivf_quantized(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "qe",
+        F.transform("v", lambda x: F.floor(x * IVF_QUANT + F.lit(0.5)).cast("long")),
+    )
+
+
+def _ivf_dist(cnt_col, qe_col, s_col):
+    """Exact int64 numerator, one double division: d(x, S/c)·c² / c²."""
+    num = F.aggregate(
+        F.zip_with(qe_col, s_col, lambda x, sj: (cnt_col * x - sj) * (cnt_col * x - sj)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return num.cast("double") / (cnt_col * cnt_col).cast("double")
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+):
+    """Build the inverted file: returns (assignments DF (id, cid), centroids).
+
+    centroids is a list of (cid, sums list[int], cnt) for the FINAL round —
+    the coarse codebook callers probe against. assignments maps every corpus
+    vector to its final cell (the IVF "posting lists", kept distributed).
+    """
+    spark = embeddings.sparkSession
+    v = _ivf_quantized(embeddings, id_col, vec_col).select("id", "qe")
+    dim = len(v.select("qe").first()["qe"])
+    seeds = (
+        v.withColumn("hk", (F.lit(48271) * F.col("id") + F.lit(seed)) % F.lit(2147483647))
+        .orderBy("hk", "id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [(i, list(r["qe"]), 1) for i, r in enumerate(seeds)]
+
+    def assign_to(cents_rows):
+        cdf = spark.createDataFrame(
+            cents_rows, schema="cid int, s array<bigint>, cnt bigint"
+        )
+        scored = v.crossJoin(F.broadcast(cdf)).select(
+            "id",
+            "cid",
+            _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s")).alias("d"),
+        )
+        return scored.groupBy("id").agg(
+            F.min_by("cid", F.struct("d", "cid")).alias("cid")
+        )
+
+    for _ in range(rounds):
+        best = assign_to(cents)
+        agg = (
+            v.join(best, "id")
+            .groupBy("cid")
+            .agg(
+                *[F.sum(F.col("qe")[i]).alias(f"s{i}") for i in range(dim)],
+                F.count("*").alias("cnt"),
+            )
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cid"]), [int(r[f"s{i}"]) for i in range(dim)], int(r["cnt"]))
+            for r in agg
+        )
+    return assign_to(cents), cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: each query scans its nprobe nearest cells.
+
+    At cluster scale the assignments table is the partitioned inverted file
+    (shuffle key = cid); probes broadcast (queries × n_cells rows). Recall vs
+    brute force is measured in tests, not assumed.
+    """
+    spark = corpus.sparkSession
+    assign, cents = ivf_index(corpus, n_cells, rounds, id_col, vec_col, seed)
+    cdf = spark.createDataFrame(cents, schema="cid int, s array<bigint>, cnt bigint")
+    qv = _ivf_quantized(queries, id_col, vec_col)
+    probe_scored = qv.select("id", "qe").crossJoin(F.broadcast(cdf)).select(
+        F.col("id").alias("query_id"),
+        "cid",
+        _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s")).alias("d"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        probe_scored.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "cid")
+    )
+    c = _with_norm(corpus, id_col, vec_col)
+    q = _with_norm(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    scored = (
+        cand.join(c.select(F.col("id").alias("neighbor_id"), "v", "norm"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -825,6 +825,126 @@ select id, '0:' || {concat} as bucket from v"""
 SQL_ANN_BUCKETS = _ann_buckets_sql()
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN top-k (coarse k-means quantizer, nprobe cells per query).
+
+    The quantizer is exact fixed-point integer arithmetic end to end (see
+    operators/similarity_search.py), so the DuckDB oracle replays the full
+    Lloyd iteration bit-for-bit — the strongest check an iterative learned
+    index can get.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.ivf_topk(emb, queries, k=10, n_cells=8, rounds=2, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _ivf_sql(
+    n_cells: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    seed: int = 11,
+    n_queries: int = 8,
+) -> str:
+    """Unrolled Lloyd rounds; mirrors similarity_search.ivf_topk exactly."""
+    quant = "[cast(floor(x * 1000 + 0.5) as bigint) for x in e]"
+    dist = (
+        f"list_sum(list_transform(range({dim}), "
+        "i -> (c.cnt * v.qe[i + 1] - c.s[i + 1]) * (c.cnt * v.qe[i + 1] - c.s[i + 1])"
+        "))::double / (c.cnt * c.cnt)"
+    )
+    parts = [
+        "with v0 as (select vec_id as id, embedding::DOUBLE[] as e from embeddings)",
+        f"q0 as (select id, e, {quant} as qe from v0)",
+        f"dims as (select unnest(generate_series(1, {dim})) as i)",
+        f"""seeds as (
+    select id, qe,
+           row_number() over (order by (48271 * id + {seed}) % 2147483647, id) - 1 as cid
+    from q0 qualify cid < {n_cells})""",
+        "cents0 as (select cid::int as cid, qe as s, 1::bigint as cnt from seeds)",
+    ]
+    for r in range(1, rounds + 2):  # rounds updates + 1 final assignment
+        prev = f"cents{r - 1}"
+        parts.append(
+            f"""a{r} as (
+    select v.id, c.cid, {dist} as d
+    from q0 v cross join {prev} c)"""
+        )
+        parts.append(
+            f"""b{r} as (
+    select id, cid from a{r}
+    qualify row_number() over (partition by id order by d, cid) = 1)"""
+        )
+        if r <= rounds:
+            parts.append(
+                f"""u{r} as (
+    select b.cid, d.i, sum(v.qe[d.i]) as sd
+    from q0 v join b{r} b using (id) cross join dims d
+    group by b.cid, d.i)"""
+            )
+            parts.append(
+                f"""cn{r} as (select cid, count(*) as cnt from b{r} group by cid)"""
+            )
+            parts.append(
+                f"""cents{r} as (
+    select u.cid, list(u.sd order by u.i) as s, any_value(c.cnt) as cnt
+    from u{r} u join cn{r} c using (cid)
+    group by u.cid)"""
+            )
+    final_b = f"b{rounds + 1}"
+    parts.append(
+        f"""qs as (select * from q0 where id < {n_queries})"""
+    )
+    parts.append(
+        f"""pa as (
+    select v.id as query_id, c.cid, {dist} as d
+    from qs v cross join cents{rounds} c)"""
+    )
+    parts.append(
+        f"""probes as (
+    select query_id, cid from pa
+    qualify row_number() over (partition by query_id order by d, cid) <= {nprobe})"""
+    )
+    parts.append(
+        "n as (select id, e, sqrt(list_dot_product(e, e)) as nrm from v0)"
+    )
+    parts.append(
+        f"""cand as (
+    select p.query_id, b.id as neighbor_id
+    from probes p join {final_b} b using (cid)
+    where b.id <> p.query_id)"""
+    )
+    parts.append(
+        """dots as (
+    select c.query_id, c.neighbor_id,
+           list_dot_product(q.e, n.e) / (q.nrm * n.nrm) as cos
+    from cand c
+    join n q on q.id = c.query_id
+    join n on n.id = c.neighbor_id)"""
+    )
+    parts.append(
+        """ranked as (
+    select query_id, neighbor_id, cos,
+           row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+    from dots)"""
+    )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"""
+select query_id, neighbor_id, round(cos, 5) as cosine, rank::bigint as rank
+from ranked where rank <= {k}"""
+    )
+
+
+SQL_ANN_IVF = _ivf_sql()
+
+
 def q_lang_id(spark, sf_dir):
     return TS.language_id(load(spark, sf_dir, "documents"))
 
@@ -1384,6 +1504,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "sim_topk": q_sim_topk,
     "ann_buckets": q_ann_buckets,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "quality": q_quality,
@@ -1418,6 +1539,7 @@ ORACLES = {
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "sim_topk": SQL_SIM_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
+    "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,
     "token_count": SQL_TOKEN_COUNT,
     "quality": SQL_QUALITY,
