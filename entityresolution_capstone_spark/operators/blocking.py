@@ -200,15 +200,35 @@ def candidate_pairs(
     - the join input is explicitly repartitioned on the key so the shuffle
       lands once; AQE skew-join splits any residual imbalance.
 
-    Pair dedup across keys is a distinct on (id1, id2) — one shuffle that also
-    co-locates pairs for every downstream per-pair join.
+    Pair dedup across keys is NOT a distinct() (that would shuffle the full
+    pair set — the dominant exchange at 10^10 pairs): each member carries the
+    sorted array of its doc's kept keys, and a pair survives only under the
+    MINIMUM key the two docs share (`_first_key_match`) — every co-blocked
+    pair is emitted exactly once, as a per-row filter. The key arrays cost a
+    doc-cardinality groupBy + join, orders of magnitude below pair
+    cardinality.
     """
     cfg = cfg or BlockingConfig()
+    # custom key fns may emit repeated (conv_id, block_key) rows; uniqueness
+    # is what makes the first-key filter exact (built-in key sources are
+    # distinct by construction)
+    blocks = blocks.dropDuplicates(["conv_id", "block_key"])
     sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_sz"))
     kept = blocks.join(
         F.broadcast(sizes.filter(F.col("_sz") > cfg.max_block_size)),
         "block_key",
         "left_anti",
+    )
+    doc_keys = kept.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list("block_key")).alias("_keys")
+    )
+    kept = kept.join(doc_keys, "conv_id").select(
+        "conv_id",
+        "block_key",
+        F.struct(
+            F.array_position("_keys", F.col("block_key")).alias("rank"),
+            F.col("_keys").alias("keys"),
+        ).alias("_p"),
     )
     parts = []
     if cfg.salt_block_size and cfg.salt_block_size < cfg.max_block_size:
@@ -220,18 +240,38 @@ def candidate_pairs(
         )
         salted = kept.join(hot, "block_key", "left_semi")
         kept = kept.join(hot, "block_key", "left_anti")
-        parts.append(salted_pairs(salted, cfg.salt_factor))
-    if shuffle_partitions:
-        kept = kept.repartition(shuffle_partitions, "block_key")
-    a = kept.select(F.col("block_key"), F.col("conv_id").alias("id1"))
-    b = kept.select(F.col("block_key"), F.col("conv_id").alias("id2"))
+        parts.append(salted_pairs(salted, cfg.salt_factor, payload_col="_p"))
+    # explicit-N repartition: tiny join input, quadratic output — see
+    # salted_pairs for why AQE's input-size coalescing must not fold this
+    n_part = shuffle_partitions or int(
+        blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    a = kept.select(
+        "block_key", F.col("conv_id").alias("id1"), F.col("_p").alias("p1")
+    ).repartition(n_part, "block_key")
+    b = kept.select(
+        "block_key", F.col("conv_id").alias("id2"), F.col("_p").alias("p2")
+    ).repartition(n_part, "block_key")
     parts.append(
-        a.join(b, "block_key").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+        a.join(b, "block_key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "p1", "p2")
     )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.distinct()
+    return out.filter(_first_key_match(F.col("p1"), F.col("p2"))).select("id1", "id2")
+
+
+def _first_key_match(p1, p2):
+    """Keep a pair only under the minimum block key its two docs share.
+
+    Payload contract: ``p = struct(rank bigint (1-based position of this
+    row's key in the doc's sorted kept-key array), keys array<string>)``.
+    Replaces the pair-set distinct() with a per-row predicate.
+    """
+    cur = F.element_at(p1["keys"], p1["rank"].cast("int"))
+    return F.array_min(F.array_intersect(p1["keys"], p2["keys"])) == cur
 
 
 def salted_pairs(blocks: DataFrame, g: int, payload_col: str | None = None) -> DataFrame:
