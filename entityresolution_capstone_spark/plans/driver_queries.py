@@ -1475,6 +1475,73 @@ where agg.sm / (z1.z * z2.z) >= {LINKAGE_THRESHOLD}"""
 )
 
 
+def q_er_linkage_min(spark, sf_dir):
+    """Min-linkage cluster-pair scores (reference resolver.py:988-1015
+    ``linkage='min'``): any member pair missing from the scored set
+    contributes 0.0, so an incomplete cluster pair floors at 0."""
+    from pyspark.sql import Window
+
+    from ..operators.linkage import cluster_pair_linkage
+
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
+    d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
+    mx = F.greatest(F.length("p1"), F.length("p2"))
+    lev_sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein("p1", "p2") / mx.cast("double")
+    )
+    scored = pairs.join(d1, "id1").join(d2, "id2").select("id1", "id2", lev_sim.alias("sim"))
+    asg = docs.select(
+        "conv_id",
+        F.min("conv_id")
+        .over(Window.partitionBy(F.array_join(F.slice("tokens", 1, 2), " ")))
+        .alias("cluster_id"),
+    )
+    out = cluster_pair_linkage(scored, asg, "min")
+    return out.select("c1", "c2", F.round("link", 6).alias("min_link"))
+
+
+SQL_ER_LINKAGE_MIN = (
+    "with "
+    + _er_pairs_cte(ER_BLOCKING)
+    + f""",
+scored as (
+    select p.id1, p.id2,
+           case when greatest(length(c1.pfx), length(c2.pfx)) = 0 then 1.0
+                else 1.0 - levenshtein(c1.pfx, c2.pfx) /
+                     cast(greatest(length(c1.pfx), length(c2.pfx)) as double) end as sim
+    from cand_pairs p
+    join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c1 on p.id1 = c1.conv_id
+    join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c2 on p.id2 = c2.conv_id
+),
+asg as (
+    select conv_id,
+           min(conv_id) over (
+               partition by array_to_string(list_slice({_DOC_TOK}, 1, 2), ' ')
+           ) as cluster_id
+    from canon
+),
+sizes as (select cluster_id, count(*) as z from asg group by cluster_id),
+cp as (
+    select least(a1.cluster_id, a2.cluster_id) as c1,
+           greatest(a1.cluster_id, a2.cluster_id) as c2,
+           s.sim
+    from scored s
+    join asg a1 on a1.conv_id = s.id1
+    join asg a2 on a2.conv_id = s.id2
+    where a1.cluster_id <> a2.cluster_id
+),
+agg as (select c1, c2, min(sim) as mn, count(*) as n from cp group by c1, c2)
+select agg.c1, agg.c2,
+       round(case when agg.n < z1.z * z2.z then least(agg.mn, 0.0) else agg.mn end,
+             6) as min_link
+from agg
+join sizes z1 on z1.cluster_id = agg.c1
+join sizes z2 on z2.cluster_id = agg.c2"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registries
 # ---------------------------------------------------------------------------
@@ -1495,6 +1562,7 @@ QUERIES = {
     "er_edge_match": q_er_edge_match,
     "er_neg_constraint": q_er_neg_constraint,
     "er_linkage_avg": q_er_linkage_avg,
+    "er_linkage_min": q_er_linkage_min,
     "er_clusters": q_er_clusters,
     "er_pairwise_f1": q_er_pairwise_f1,
     "dedup_exact": q_dedup_exact,
@@ -1530,6 +1598,7 @@ ORACLES = {
     "er_edge_match": SQL_ER_EDGE_MATCH,
     "er_neg_constraint": SQL_ER_NEG_CONSTRAINT,
     "er_linkage_avg": SQL_ER_LINKAGE_AVG,
+    "er_linkage_min": SQL_ER_LINKAGE_MIN,
     "er_clusters": SQL_ER_CLUSTERS,
     "er_pairwise_f1": SQL_ER_PAIRWISE_F1,
     "dedup_exact": SQL_DEDUP_EXACT,
