@@ -195,13 +195,125 @@ def levenshtein_batch(
     return dist.astype(np.float64)
 
 
-def scaled_levenshtein_batch(
+def levenshtein_batch_bitparallel(
     s1: np.ndarray, s2: np.ndarray, max_len: int = DEFAULT_MAX_LEN
+) -> np.ndarray:
+    """Exact Levenshtein distances via bit-parallel Myers, batch-vectorized.
+
+    Myers' bit-vector recurrence (Myers, JACM 1999; multi-word form after
+    Hyyrö 2003) computes one DP COLUMN per text character in O(ceil(m/64))
+    word operations instead of O(m) cells — ~64x less work and, more
+    importantly for many-worker scaling, a working set of a few bitvector
+    words per pair instead of O(L) DP rows (the classic kernel is
+    DRAM-bandwidth-bound; this one stays in registers/L1).
+
+    Vectorization layout: all per-pair bitvectors are (n,) uint64 arrays per
+    word; the text loop runs max|s2| times over the whole batch with an
+    active mask. Every dependency in the recurrence flows from lower to
+    higher bits (addition carries, left shifts), so sharing a uniform word
+    count across pairs with different pattern lengths is exact — bits above
+    a pair's own m-1 never influence its score bit.
+
+    Falls back to the DP kernel when the batch alphabet exceeds 255 symbols
+    (the uint8 Peq table is what keeps the gather step cheap).
+    """
+    n = len(s1)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    a, la = _encode_batch(s1, max_len)
+    b, lb = _encode_batch(s2, max_len)
+    uniq = np.unique(np.concatenate([a.ravel(), b.ravel()]))
+    if len(uniq) > 255:
+        return levenshtein_batch(s1, s2, max_len=max_len)
+    lut = np.zeros(int(uniq.max()) + 1, dtype=np.uint8)
+    lut[uniq] = np.arange(len(uniq), dtype=np.uint8)
+    a, b = lut[a], lut[b]
+
+    m_max = int(la.max(initial=0))
+    n_max = int(lb.max(initial=0))
+    if m_max == 0:
+        return lb.astype(np.float64)
+    W = (m_max + 63) // 64
+    rows = np.arange(n)
+
+    # Peq[i, c, w]: bitmask of pattern positions in word w where a[i] == c
+    peq = np.zeros((n, 256, W), dtype=np.uint64)
+    for pos in range(m_max):
+        w, bit = divmod(pos, 64)
+        act = pos < la
+        if not act.any():
+            break
+        np.bitwise_or.at(
+            peq, (rows[act], a[act, pos], w), np.uint64(1 << bit)
+        )
+
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # VP starts all-ones over each pair's own m bits
+    vp = np.zeros((W, n), dtype=np.uint64)
+    for w in range(W):
+        bits = np.clip(la - 64 * w, 0, 64)
+        full = bits >= 64
+        safe_bits = np.where(full, 0, bits).astype(np.uint64)
+        vp[w] = np.where(full, ones, (np.uint64(1) << safe_bits) - np.uint64(1))
+    vn = np.zeros((W, n), dtype=np.uint64)
+    score = la.astype(np.int64).copy()
+    # per-pair location of the score bit (m-1)
+    wm = np.maximum(la - 1, 0) // 64
+    last_shift = (np.maximum(la - 1, 0) % 64).astype(np.uint64)
+
+    eq = np.empty((W, n), dtype=np.uint64)
+    wsel = np.arange(W)[None, :]
+    for j in range(n_max):
+        act = j < lb
+        if not act.any():
+            continue
+        cj = b[:, j]
+        eq_g = peq[rows[:, None], cj[:, None], wsel]  # (n, W)
+        for w in range(W):
+            eq[w] = eq_g[:, w]
+        carry = np.zeros(n, dtype=np.uint64)
+        hp_c = np.ones(n, dtype=np.uint64)  # left-border carry-in for HP<<1
+        hn_c = np.zeros(n, dtype=np.uint64)
+        dscore = np.zeros(n, dtype=np.int64)
+        for w in range(W):
+            x = eq[w] & vp[w]
+            s1w = x + vp[w]
+            c1 = (s1w < x).astype(np.uint64)
+            s2w = s1w + carry
+            c2 = (s2w < s1w).astype(np.uint64)
+            carry = c1 | c2
+            d0 = (s2w ^ vp[w]) | eq[w] | vn[w]
+            hp = vn[w] | ~(d0 | vp[w])
+            hn = vp[w] & d0
+            sel = wm == w
+            if sel.any():
+                dscore[sel] = (
+                    ((hp[sel] >> last_shift[sel]) & np.uint64(1)).astype(np.int64)
+                    - ((hn[sel] >> last_shift[sel]) & np.uint64(1)).astype(np.int64)
+                )
+            hp_s = (hp << np.uint64(1)) | hp_c
+            hn_s = (hn << np.uint64(1)) | hn_c
+            hp_c = hp >> np.uint64(63)
+            hn_c = hn >> np.uint64(63)
+            vp_new = hn_s | ~(d0 | hp_s)
+            vn_new = hp_s & d0
+            vp[w] = np.where(act, vp_new, vp[w])
+            vn[w] = np.where(act, vn_new, vn[w])
+        score += np.where(act, dscore, 0)
+    return score.astype(np.float64)
+
+
+def scaled_levenshtein_batch(
+    s1: np.ndarray,
+    s2: np.ndarray,
+    max_len: int = DEFAULT_MAX_LEN,
+    impl: str = "bitparallel",
 ) -> np.ndarray:
     """1 - dist/max(len); 1.0 for two empty strings (py_stringmatching semantics)."""
     a_len = np.array([min(len(x or ""), max_len) for x in s1], dtype=np.float64)
     b_len = np.array([min(len(x or ""), max_len) for x in s2], dtype=np.float64)
-    dist = levenshtein_batch(s1, s2, max_len=max_len)
+    dist_fn = levenshtein_batch_bitparallel if impl == "bitparallel" else levenshtein_batch
+    dist = dist_fn(s1, s2, max_len=max_len)
     mx = np.maximum(a_len, b_len)
     with np.errstate(divide="ignore", invalid="ignore"):
         sim = 1.0 - dist / mx
@@ -238,6 +350,42 @@ def make_pair_sim_udf(kind: str = "jaro_winkler", max_len: int = DEFAULT_MAX_LEN
         for lo in range(0, n, KERNEL_CHUNK):
             hi = min(lo + KERNEL_CHUNK, n)
             out[lo:hi] = kernel(x[lo:hi], y[lo:hi])
+        res = pd.Series(out)
+        res[null.to_numpy()] = None
+        return res
+
+    return sim_udf
+
+
+def make_weighted_char_sim_udf(weighted: dict[str, float], max_len: int = DEFAULT_MAX_LEN):
+    """One pandas UDF computing ``sum_k w_k * kernel_k`` over the same pair.
+
+    The Arrow transport of the two prefix columns (the dominant fixed cost of
+    a python kernel at 10^6+ pairs/batch) and the codepoint encode are paid
+    ONCE for all char kernels instead of once per kernel.
+    """
+    kernels = {
+        "jaro": jaro_batch,
+        "jw": jaro_winkler_batch,
+        "lev": scaled_levenshtein_batch,
+    }
+    parts = [(kernels[k], w) for k, w in weighted.items()]
+
+    @pandas_udf("double")
+    def sim_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        x = s1.to_numpy(dtype=object)
+        y = s2.to_numpy(dtype=object)
+        null = pd.isna(s1) | pd.isna(s2)
+        x = np.where(pd.isna(s1), "", x)
+        y = np.where(pd.isna(s2), "", y)
+        n = len(x)
+        out = np.zeros(n, dtype=np.float64)
+        for lo in range(0, n, KERNEL_CHUNK):
+            hi = min(lo + KERNEL_CHUNK, n)
+            acc = np.zeros(hi - lo, dtype=np.float64)
+            for fn, w in parts:
+                acc += w * fn(x[lo:hi], y[lo:hi], max_len=max_len)
+            out[lo:hi] = acc
         res = pd.Series(out)
         res[null.to_numpy()] = None
         return res

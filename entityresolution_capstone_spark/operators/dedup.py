@@ -126,6 +126,8 @@ def bucket_pairs(
     """
     from .blocking import salted_pairs
 
+    if pair_filter is not None and payload_col is None:
+        raise ValueError("pair_filter requires payload_col")
     sel = [F.col(key_col).alias("block_key"), F.col(id_col).alias("conv_id")]
     if payload_col:
         sel.append(F.col(payload_col).alias("_p"))

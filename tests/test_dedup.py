@@ -127,3 +127,30 @@ def test_bucket_pairs_salted_matches_naive(spark, docs):
     a = {(r["id1"], r["id2"]) for r in naive.collect()}
     b = {(r["id1"], r["id2"]) for r in salted.collect()}
     assert a == b and len(a) > 0
+
+
+def test_bucket_pairs_pair_filter_requires_payload(spark):
+    with pytest.raises(ValueError, match="payload_col"):
+        D.bucket_pairs(
+            spark.createDataFrame([(1, "k")], "doc_id long, bkey string"),
+            pair_filter=lambda a, b: a == b,
+        )
+
+
+def test_first_band_match_emits_each_pair_once(spark):
+    """Two docs colliding in bands 1 and 3 (0-indexed) must yield ONE pair,
+    attributed to band 1."""
+    rows = [
+        (1, ["a0", "X", "c0", "Y"]),
+        (2, ["a2", "X", "c2", "Y"]),
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, keys array<string>")
+    buckets = (
+        sig.select("doc_id", "keys")
+        .select("doc_id", "keys", F.posexplode("keys").alias("band", "bkey"))
+        .select("doc_id", "bkey", F.struct("band", "keys").alias("p"))
+    )
+    out = D.bucket_pairs(
+        buckets, payload_col="p", pair_filter=D.first_band_match
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in out] == [(1, 2)]

@@ -138,3 +138,57 @@ def test_pair_sim_udf_on_spark(spark):
     assert round(got[0], 6) == 0.961111
     assert round(got[1], 6) == 0.7
     assert got[2] is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcdez ", max_size=140),
+    st.text(alphabet="abcdez ", max_size=140),
+)
+def test_bitparallel_lev_matches_duckdb_and_dp(s1, s2):
+    """Myers bit-vector distances == DP kernel == DuckDB builtin, including
+    strings that span multiple 64-bit words (>64 chars)."""
+    from entityresolution_capstone_spark.functions.similarity import (
+        levenshtein_batch_bitparallel,
+    )
+
+    for ml in (64, 128):
+        got = k(lambda a, b, max_len=ml: levenshtein_batch_bitparallel(a, b, max_len=ml), s1, s2)
+        want = k(lambda a, b, max_len=ml: levenshtein_batch(a, b, max_len=ml), s1, s2)
+        assert got == want, (s1, s2, ml)
+    (dl,) = duckdb.execute(
+        "select levenshtein(?, ?)", [s1[:128], s2[:128]]
+    ).fetchone()
+    got128 = k(
+        lambda a, b: levenshtein_batch_bitparallel(a, b, max_len=128), s1, s2
+    )
+    assert got128 == dl, (s1, s2)
+
+
+def test_weighted_char_udf_matches_split_kernels(spark):
+    """The fused char-kernel UDF == w_jw*JW + w_lev*scaled-lev computed
+    separately (the score_pairs_slim numerical-identity contract)."""
+    import numpy as np
+
+    from entityresolution_capstone_spark.functions.similarity import (
+        jaro_winkler_batch,
+        make_weighted_char_sim_udf,
+        scaled_levenshtein_batch,
+    )
+
+    rows = [
+        ("kitten", "sitting"),
+        ("entity resolution at scale", "entity resolutoin at scale"),
+        ("", ""),
+        ("abc", ""),
+        ("x" * 128, "x" * 127 + "y"),
+    ]
+    df = spark.createDataFrame(rows, "p1 string, p2 string")
+    udf = make_weighted_char_sim_udf({"jw": 0.6, "lev": 0.4}, max_len=128)
+    got = [r["s"] for r in df.select(udf("p1", "p2").alias("s")).collect()]
+    x = np.array([r[0] for r in rows], dtype=object)
+    y = np.array([r[1] for r in rows], dtype=object)
+    want = 0.6 * jaro_winkler_batch(x, y, max_len=128) + 0.4 * scaled_levenshtein_batch(
+        x, y, max_len=128
+    )
+    assert np.allclose(got, want, atol=0)
