@@ -63,13 +63,92 @@ def _compact_codes(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return lut[a], lut[b]
 
 
+def _build_peq(codes: np.ndarray, lens: np.ndarray, lmax: int, n_symbols: int) -> np.ndarray:
+    """(n, n_symbols, W) uint64 bit table: bit j of Peq[i, c] set iff
+    codes[i, j] == c and j < lens[i].
+
+    Built as one vectorized compare + ``packbits`` per alphabet symbol —
+    orders of magnitude faster than ``np.bitwise_or.at`` scatter for the
+    small compacted alphabets these batches have.
+    """
+    n, W = len(lens), (lmax + 63) // 64
+    valid = np.arange(lmax)[None, :] < lens[:, None]
+    peq = np.empty((n, n_symbols, W), dtype=np.uint64)
+    pad = W * 8
+    for c in range(n_symbols):
+        m = (codes[:, :lmax] == c) & valid
+        packed = np.packbits(m, axis=1, bitorder="little")
+        if packed.shape[1] < pad:
+            packed = np.pad(packed, ((0, 0), (0, pad - packed.shape[1])))
+        peq[:, c, :] = packed.view(np.uint64)
+    return peq
+
+
+def _jaro_match_bitparallel(a, la, b, lb, window, lmax):
+    """Greedy Jaro matching (earliest unmatched j with |j-i|<=win) on
+    bitmasks: per source position the candidate set is ONE and-chain of
+    uint64 words and the chosen j is its lowest set bit — O(ceil(L/64)) word
+    ops per step instead of an O(L)-byte row scan. Returns the (n, lmax)
+    bool matched masks (identical to the masked-loop matcher; pinned by
+    hypothesis tests via jaro parity).
+    """
+    n = len(la)
+    W = (lmax + 63) // 64
+    rows = np.arange(n)
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    n_sym = int(max(a.max(initial=0), b.max(initial=0))) + 1
+    peq = _build_peq(b, lb, lmax, n_sym)
+    unmatched = np.empty((W, n), dtype=np.uint64)
+    for w in range(W):
+        bits = np.clip(lb - 64 * w, 0, 64)
+        full = bits >= 64
+        safe = np.where(full, 0, bits).astype(np.uint64)
+        unmatched[w] = np.where(full, ones, (np.uint64(1) << safe) - np.uint64(1))
+    matched_a = np.zeros((n, lmax), dtype=bool)
+    matched_b_bits = np.zeros((W, n), dtype=np.uint64)
+    wsel = np.arange(W)[None, :]
+    cand = np.empty((W, n), dtype=np.uint64)
+    for i in range(lmax):
+        lo = np.maximum(i - window, 0)
+        hi = np.minimum(i + window, lmax - 1)
+        ci = a[:, i]
+        eq_g = peq[rows[:, None], ci[:, None], wsel]  # (n, W)
+        found = np.zeros(n, dtype=bool)
+        src_ok = i < la
+        for w in range(W):
+            base = np.uint64(64 * w)
+            # window bits of this word: [max(lo,64w), min(hi, 64w+63)]
+            wlo = np.clip(lo - 64 * w, 0, 64)
+            whi = np.clip(hi - 64 * w + 1, 0, 64)
+            nbits = np.maximum(whi - wlo, 0).astype(np.uint64)
+            fullw = nbits >= 64
+            safe_n = np.where(fullw, 0, nbits).astype(np.uint64)
+            span = np.where(fullw, ones, (np.uint64(1) << safe_n) - np.uint64(1))
+            win_mask = span << wlo.astype(np.uint64)
+            cw = eq_g[:, w] & win_mask & unmatched[w]
+            cw = np.where(src_ok & ~found, cw, np.uint64(0))
+            low = cw & (~cw + np.uint64(1))  # lowest set bit
+            hit = low != 0
+            if hit.any():
+                unmatched[w][hit] &= ~low[hit]
+                matched_b_bits[w][hit] |= low[hit]
+                matched_a[hit, i] = True
+                found |= hit
+    # expand matched_b bitmasks to a bool matrix (little-endian bit order)
+    mb_bytes = matched_b_bits.transpose(1, 0).copy().view(np.uint8)  # (n, W*8)
+    matched_b = np.unpackbits(mb_bytes, axis=1, bitorder="little")[:, :lmax].astype(bool)
+    return matched_a, matched_b
+
+
 def jaro_batch(
     s1: np.ndarray, s2: np.ndarray, max_len: int = DEFAULT_MAX_LEN
 ) -> np.ndarray:
     """Vectorized Jaro similarity over a batch of string pairs.
 
-    Fast path: byte-identical pairs score 1.0 without entering the O(L²)
-    matching loop — near-duplicate corpora hit this constantly.
+    Fast path: byte-identical pairs score 1.0 without entering the matching
+    loop — near-duplicate corpora hit this constantly. The matcher itself is
+    the bit-parallel greedy matcher above whenever the batch alphabet fits
+    the uint8 Peq table (it always does after _compact_codes succeeds).
     """
     a, la = _encode_batch(s1, max_len)
     b, lb = _encode_batch(s2, max_len)
@@ -90,31 +169,37 @@ def jaro_batch(
         return out
 
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
-    matched_a = np.zeros((n, lmax), dtype=bool)
-    matched_b = np.zeros((n, lmax), dtype=bool)
     cols = np.arange(lmax)[None, :]  # (1, L)
 
-    # Greedy left-to-right matching: loop over source positions (bounded by
-    # max_len), vectorized across the batch and target positions. Buffers are
-    # preallocated and updated in place — the loop is memory-bandwidth-bound,
-    # and temporary churn is what stops it scaling across many workers.
-    colmask = cols < lb[:, None]           # static: valid target positions
-    not_matched_b = np.ones((n, lmax), dtype=bool)
-    win = window[:, None]
-    tmp = np.empty((n, lmax), dtype=bool)
-    rows = np.arange(n)
-    for i in range(lmax):
-        np.equal(b, a[:, i][:, None], out=tmp)
-        tmp &= colmask
-        tmp &= np.abs(cols - i) <= win
-        tmp &= not_matched_b
-        tmp[i >= la, :] = False
-        has = tmp.any(axis=1)
-        first = tmp.argmax(axis=1)
-        hit = rows[has]
-        matched_b[hit, first[has]] = True
-        not_matched_b[hit, first[has]] = False
-        matched_a[hit, i] = True
+    if a.dtype == np.uint8:
+        # compact alphabet -> bit-parallel greedy matcher (O(L/64) words per
+        # source position; register/L1-resident working set)
+        matched_a, matched_b = _jaro_match_bitparallel(a, la, b, lb, window, lmax)
+    else:
+        matched_a = np.zeros((n, lmax), dtype=bool)
+        matched_b = np.zeros((n, lmax), dtype=bool)
+        # Greedy left-to-right matching: loop over source positions (bounded
+        # by max_len), vectorized across the batch and target positions.
+        # Buffers are preallocated and updated in place — the loop is
+        # memory-bandwidth-bound, and temporary churn is what stops it
+        # scaling across many workers.
+        colmask = cols < lb[:, None]       # static: valid target positions
+        not_matched_b = np.ones((n, lmax), dtype=bool)
+        win = window[:, None]
+        tmp = np.empty((n, lmax), dtype=bool)
+        rows = np.arange(n)
+        for i in range(lmax):
+            np.equal(b, a[:, i][:, None], out=tmp)
+            tmp &= colmask
+            tmp &= np.abs(cols - i) <= win
+            tmp &= not_matched_b
+            tmp[i >= la, :] = False
+            has = tmp.any(axis=1)
+            first = tmp.argmax(axis=1)
+            hit = rows[has]
+            matched_b[hit, first[has]] = True
+            not_matched_b[hit, first[has]] = False
+            matched_a[hit, i] = True
 
     m = matched_a.sum(axis=1).astype(np.float64)
 
@@ -237,15 +322,8 @@ def levenshtein_batch_bitparallel(
     rows = np.arange(n)
 
     # Peq[i, c, w]: bitmask of pattern positions in word w where a[i] == c
-    peq = np.zeros((n, 256, W), dtype=np.uint64)
-    for pos in range(m_max):
-        w, bit = divmod(pos, 64)
-        act = pos < la
-        if not act.any():
-            break
-        np.bitwise_or.at(
-            peq, (rows[act], a[act, pos], w), np.uint64(1 << bit)
-        )
+    n_sym = int(max(a.max(initial=0), b.max(initial=0))) + 1
+    peq = _build_peq(a, la, m_max, n_sym)
 
     ones = np.uint64(0xFFFFFFFFFFFFFFFF)
     # VP starts all-ones over each pair's own m bits

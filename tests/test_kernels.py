@@ -192,3 +192,15 @@ def test_weighted_char_udf_matches_split_kernels(spark):
         x, y, max_len=128
     )
     assert np.allclose(got, want, atol=0)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="abcdez ", max_size=140),
+    st.text(alphabet="abcdez ", max_size=140),
+)
+def test_bitparallel_jaro_matches_scalar_long_strings(s1, s2):
+    """The bit-parallel greedy matcher == the scalar reference across word
+    boundaries (patterns > 64 chars use 2 uint64 words)."""
+    got = k(lambda a, b: jaro_batch(a, b, max_len=128), s1, s2)
+    assert abs(got - _jaro_scalar(s1[:128], s2[:128])) < 1e-12, (s1, s2)
