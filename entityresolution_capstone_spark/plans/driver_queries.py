@@ -1477,6 +1477,58 @@ where agg.sm / (z1.z * z2.z) >= {LINKAGE_THRESHOLD}"""
 )
 
 
+def q_events_asof(spark, sf_dir):
+    """Point-in-time join: each 'purchase' event gets the latest preceding
+    (or same-instant) 'error' event of the same user — the leak-free feature
+    lookup of a training-data pipeline. Join-free plan (tagged union + one
+    window pass per user); oracle = DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("err_id"),
+            F.max_by("value", "event_id").alias("err_value"),
+        )
+    )
+    out = asof_join_backward(
+        left, right, on=["user_id"], ts_col="ts",
+        payload_cols=["err_id", "err_value"],
+    )
+    # events.ts is timestamp_ntz; the session runs in UTC, so the cast to
+    # timestamp is instant-preserving and unix_micros matches DuckDB's
+    # epoch_us on the naive value
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        us("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.col("asof_err_id").cast("long").alias("err_id"),
+        F.round("asof_err_value", 6).alias("err_value"),
+        (us("ts") - us("asof_ts")).cast("long").alias("lag_us"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+with l as (
+    select event_id, user_id, ts, value from events where event_type = 'purchase'
+),
+r as (
+    select user_id, ts, max(event_id) as err_id, max_by(value, event_id) as err_value
+    from events where event_type = 'error' group by user_id, ts
+)
+select l.event_id, l.user_id, epoch_us(l.ts) as ts_us, round(l.value, 6) as value,
+       r.err_id, round(r.err_value, 6) as err_value,
+       epoch_us(l.ts) - epoch_us(r.ts) as lag_us
+from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts"""
+
+
 def q_er_linkage_min(spark, sf_dir):
     """Min-linkage cluster-pair scores (reference resolver.py:988-1015
     ``linkage='min'``): any member pair missing from the scored set
@@ -1582,6 +1634,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_running": q_events_running,
+    "events_asof": q_events_asof,
 }
 
 ORACLES = {
@@ -1618,6 +1671,7 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_running": SQL_EVENTS_RUNNING,
+    "events_asof": SQL_EVENTS_ASOF,
 }
 
 
