@@ -1529,6 +1529,93 @@ select l.event_id, l.user_id, epoch_us(l.ts) as ts_us, round(l.value, 6) as valu
 from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts"""
 
 
+def q_events_range(spark, sf_dir):
+    """Interval-containment join: each purchase event matched to every error
+    window ``[err.ts, err.ts + 30 min]`` of the same user, aggregated per
+    purchase. Spark plan is the bucketized equi-join (operators/rangejoin.py)
+    — never a nested-loop range join; oracle is DuckDB's naive inequality
+    join (identical semantics, feasible at sf0.01)."""
+    from ..operators.rangejoin import range_join
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    ivl = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    m = range_join(pts, ivl, on=["user_id"], point_ts="ts", bucket_width_s=900)
+    return m.groupBy("event_id", "user_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.min("err_id").cast("long").alias("min_err_id"),
+    )
+
+
+SQL_EVENTS_RANGE = """
+with l as (
+    select event_id, user_id, ts from events where event_type = 'purchase'
+),
+r as (
+    select event_id as err_id, user_id, ts as start_ts,
+           ts + interval 30 minute as end_ts
+    from events where event_type = 'error'
+)
+select l.event_id, l.user_id,
+       cast(count(*) as bigint) as n_windows,
+       cast(min(r.err_id) as bigint) as min_err_id
+from l join r on l.user_id = r.user_id
+             and l.ts >= r.start_ts and l.ts <= r.end_ts
+group by 1, 2"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """Multi-granularity rollup (hypertable-style continuous-aggregate shape):
+    (day, event_type) -> day subtotals -> grand total in ONE pass via ROLLUP
+    grouping sets. Sums run in decimal(18,6) so both engines aggregate exactly
+    (double summation order would differ between engines at the total row)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .rollup("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+select strftime(date_trunc('day', ts), '%Y-%m-%d') as day, event_type,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(value as decimal(18,6))) as decimal(38,6)) as sum_value
+from events group by rollup(day, event_type)"""
+
+
+def q_er_cluster_neighbors(spark, sf_dir):
+    """R5 — the cluster-neighbor multiset map itself (reference graph.py:
+    288-298 via utils' neighbor cache): (cluster, nbr_cluster, multiplicity)
+    over the derived hyper-edge table. One join + one groupBy."""
+    _, _, nbrs, _ = _rel_inputs(spark, sf_dir)
+    return nbrs.groupBy("cluster", "nbr").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+SQL_ER_CLUSTER_NEIGHBORS = (
+    "with "
+    + _REL_CTE
+    + """
+select cluster, nbr, cast(count(*) as bigint) as cnt from nbr group by 1, 2"""
+)
+
+
 def q_er_linkage_min(spark, sf_dir):
     """Min-linkage cluster-pair scores (reference resolver.py:988-1015
     ``linkage='min'``): any member pair missing from the scored set
@@ -1635,6 +1722,9 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_running": q_events_running,
     "events_asof": q_events_asof,
+    "events_range": q_events_range,
+    "events_rollup": q_events_rollup,
+    "er_cluster_neighbors": q_er_cluster_neighbors,
 }
 
 ORACLES = {
@@ -1672,6 +1762,9 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_running": SQL_EVENTS_RUNNING,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_range": SQL_EVENTS_RANGE,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "er_cluster_neighbors": SQL_ER_CLUSTER_NEIGHBORS,
 }
 
 
