@@ -213,6 +213,12 @@ def candidate_pairs(
     # is what makes the first-key filter exact (built-in key sources are
     # distinct by construction)
     blocks = blocks.dropDuplicates(["conv_id", "block_key"])
+    # the blocks frontier feeds sizes, the anti-join, doc_keys, and both join
+    # sides — without materialization every reference recomputes the whole
+    # upstream key chain (minhash explode + dictionary join + 16 min-aggs),
+    # measured as a >2x inflation of the stage; persist is the standard
+    # many-consumer materialization (spills to disk beyond executor memory)
+    blocks = blocks.persist()
     sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_sz"))
     kept = blocks.join(
         F.broadcast(sizes.filter(F.col("_sz") > cfg.max_block_size)),
@@ -229,7 +235,7 @@ def candidate_pairs(
             F.array_position("_keys", F.col("block_key")).alias("rank"),
             F.col("_keys").alias("keys"),
         ).alias("_p"),
-    )
+    ).persist()  # consumed by the salted split and both self-join sides
     parts = []
     if cfg.salt_block_size and cfg.salt_block_size < cfg.max_block_size:
         hot = F.broadcast(

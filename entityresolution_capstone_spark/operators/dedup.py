@@ -131,7 +131,10 @@ def bucket_pairs(
     sel = [F.col(key_col).alias("block_key"), F.col(id_col).alias("conv_id")]
     if payload_col:
         sel.append(F.col(payload_col).alias("_p"))
-    b = buckets.select(*sel)
+    # materialize once: the bucket rows feed the size scan, the hot-bucket
+    # semi/anti split, and both self-join sides — unpersisted, each reference
+    # recomputes the whole signature chain (explode + dict join + min-aggs)
+    b = buckets.select(*sel).persist()
     parts = []
     if salt_bucket_size:
         sizes = b.groupBy("block_key").agg(F.count("*").alias("_sz"))
@@ -488,3 +491,87 @@ def embedding_cosine_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup consolidation + deterministic corpus splitting
+# ---------------------------------------------------------------------------
+
+def keep_best_duplicates(
+    documents: DataFrame,
+    dup_pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Pick ONE survivor per near-dup cluster: (id, cluster_id, quality, keep).
+
+    The consolidation step of a training-data dedup pass: transitive closure
+    over the near-dup pair graph (large-star/small-star CC — dup graphs are
+    sparse, so the closure is cheap relative to pair generation), then keep
+    the member with the highest quality score, ties broken by smallest id
+    (deterministic under any partitioning). Docs in no dup pair are singleton
+    clusters and keep themselves.
+
+    The per-cluster argmax is a row_number window keyed on the cluster —
+    clusters are near-dup groups (bounded size in practice), so no window
+    skew; everything else is joins + groupBy.
+    """
+    from pyspark.sql import Window
+
+    from .cc import assign_clusters, connected_components
+
+    comps = connected_components(
+        dup_pairs.select("id1", "id2"), checkpoint=False
+    )
+    asg = assign_clusters(
+        documents.select(F.col(id_col).alias("conv_id")), comps
+    ).select(F.col("conv_id").alias(id_col), "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        asg.join(quality.select(id_col, quality_col), id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_id", quality_col, "keep")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 7,
+    hash_expr=None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: input rows + a ``split`` col.
+
+    Splits by hashing the KEY, not by position or random(): the assignment is
+    stable under reordering, repartitioning, and incremental re-runs (a doc
+    keeps its split when the corpus grows — the property that prevents
+    train/test leakage across pipeline versions). Default hash is
+    ``xxhash64(key, seed)``; pass ``hash_expr`` (a Column -> Column callable)
+    to pin a specific family, e.g. Knuth multiplicative hashing when the
+    split must be reproducible outside Spark (the DuckDB oracle does this).
+
+    Pure column algebra — no shuffle, no UDF; the split is a projection.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    denom = 1_000_000
+    h = (
+        hash_expr(F.col(key_col))
+        if hash_expr is not None
+        else F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(denom))
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = h < F.lit(int(acc * denom))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)

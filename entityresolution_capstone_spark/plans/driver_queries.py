@@ -743,6 +743,59 @@ join sizes s2 on s2.doc_id = c.id2
 where coalesce(i.n_inter, 0)::double / (s1.n + s2.n - coalesce(i.n_inter, 0)) >= 0.6"""
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup consolidation: n-gram dup pairs -> transitive closure -> keep
+    the highest-quality member per cluster (ties: smallest doc_id). The
+    keep-one-survivor step every training-data dedup pass ends with."""
+    from ..operators.textstats import quality_scores
+
+    docs = load(spark, sf_dir, "documents")
+    dups = D.ngram_jaccard_duplicates(docs, n=3, threshold=0.6, max_block_df=50)
+    q = quality_scores(docs).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+    out = D.keep_best_duplicates(docs, dups.select("id1", "id2"), q)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "quality",
+        "keep",
+    )
+
+
+# SQL_DEDUP_KEEP_BEST is assembled after SQL_QUALITY is defined (below the
+# textstats oracles) — it embeds both the ngram-pair and the quality queries.
+
+
+# deterministic split hash: Knuth multiplicative hashing on the id — chosen
+# (over xxhash64) for the driver query so the DuckDB oracle reproduces the
+# assignment exactly; hash_split's default remains xxhash64 for string keys
+SPLIT_MULT = 2654435761
+SPLIT_DENOM = 1_000_000
+
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5) keyed on doc_id — stable
+    under reordering and corpus growth (no leakage across pipeline runs)."""
+    docs = load(spark, sf_dir, "documents")
+    h = lambda c: F.pmod(c.cast("long") * F.lit(SPLIT_MULT), F.lit(SPLIT_DENOM))  # noqa: E731
+    out = D.hash_split(
+        docs.select("doc_id"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        hash_expr=h,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+SQL_DOC_SPLIT = f"""
+select cast(doc_id as bigint) as doc_id,
+       case when (doc_id * {SPLIT_MULT}) % {SPLIT_DENOM} < 900000 then 'train'
+            when (doc_id * {SPLIT_MULT}) % {SPLIT_DENOM} < 950000 then 'val'
+            else 'test' end as split
+from documents"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """LSH-bucketed near-dup pairs — the 100-TB plan: candidates restricted to
     a shared random-hyperplane bucket instead of the O(n²) cross join. The
@@ -1023,6 +1076,37 @@ select doc_id, n_chars, n_tokens,
            + 0.2 * (1.0 - digit_ratio)
            + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) as quality
 from base"""
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "with recursive prs as (select id1, id2 from ("
+    + SQL_DEDUP_NGRAM
+    + """)),
+sym as (select id1 as a, id2 as b from prs union select id2, id1 from prs),
+reach(a, b) as (
+    select a, b from sym
+    union
+    select r.a, s.b from reach r join sym s on r.b = s.a
+),
+comp as (select a as doc_id, least(a, min(b)) as cluster_id from reach group by a),
+qual as (select doc_id, quality from ("""
+    + SQL_QUALITY
+    + """)),
+asg as (
+    select d.doc_id, coalesce(c.cluster_id, d.doc_id) as cluster_id
+    from documents d left join comp c using (doc_id)
+),
+rk as (
+    select a.doc_id, a.cluster_id, q.quality,
+           row_number() over (partition by a.cluster_id
+                              order by q.quality desc, a.doc_id) as rn
+    from asg a join qual q using (doc_id)
+)
+select cast(doc_id as bigint) as doc_id,
+       cast(cluster_id as bigint) as cluster_id,
+       quality, (rn = 1) as keep
+from rk"""
+)
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1711,6 +1795,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_keep_best": q_dedup_keep_best,
+    "doc_split": q_doc_split,
     "sim_topk": q_sim_topk,
     "ann_buckets": q_ann_buckets,
     "ann_ivf": q_ann_ivf,
@@ -1751,6 +1837,8 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram": SQL_DEDUP_NGRAM,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "doc_split": SQL_DOC_SPLIT,
     "sim_topk": SQL_SIM_TOPK,
     "ann_buckets": SQL_ANN_BUCKETS,
     "ann_ivf": SQL_ANN_IVF,
