@@ -99,3 +99,38 @@ def test_equijoin_plan_no_nested_loop(frames):
         points, intervals, on=["k"], bucket_width_s=300
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_random_brute_force_equivalence(spark):
+    # pinned-seed random workload vs a per-row brute-force evaluation
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 3, 1)
+    pts = [
+        (f"p{i}", rng.randint(0, 3), base + dt.timedelta(seconds=rng.randint(0, 50000)))
+        for i in range(300)
+    ]
+    ivls = []
+    for i in range(120):
+        s = base + dt.timedelta(seconds=rng.randint(0, 50000))
+        ivls.append(
+            (f"i{i}", rng.randint(0, 3), s, s + dt.timedelta(seconds=rng.randint(0, 4000)))
+        )
+    expected = sorted(
+        (p[0], v[0])
+        for p in pts
+        for v in ivls
+        if p[1] == v[1] and v[2] <= p[2] <= v[3]
+    )
+    points = spark.createDataFrame(pts, "pid string, k int, ts timestamp")
+    intervals = spark.createDataFrame(
+        ivls, "iid string, k int, start_ts timestamp, end_ts timestamp"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, on=["k"], bucket_width_s=600
+        ).select("pid", "iid").collect()
+    )
+    assert got == expected and len(expected) > 100
