@@ -135,3 +135,44 @@ def doc_fingerprints(documents: DataFrame, id_col: str = "doc_id", text_col: str
         pos.groupBy("doc_id")
         .agg((F.sum(term) % F.lit(MERSENNE_P)).alias("fingerprint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded repetition,
+# no lookaround, no \s shorthand (explicit classes instead).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^ ]+"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def scrub_pii(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_urls, n_phones): redact PII spans.
+
+    The standard pre-training redaction pass: emails -> ``<EMAIL>``,
+    URLs -> ``<URL>``, international-format phone numbers -> ``<PHONE>``,
+    applied in that fixed order (placeholders never re-match a later
+    pattern). Counts are measured on the ORIGINAL text per pattern. Pure
+    Column algebra — regexp_replace/regexp_count run JVM-side inside
+    whole-stage codegen; no UDF, no shuffle (a projection over the corpus).
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_URL_RE, "<URL>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )

@@ -1078,6 +1078,59 @@ select doc_id, n_chars, n_tokens,
 from base"""
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over documents. The synthetic corpus carries no PII, so
+    the query deterministically injects emails/URLs/phones keyed on doc_id
+    (identical construction in the oracle) — nonzero counts make the scrub
+    regexes actually graded rather than vacuously matching zero spans."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.format_string(" contact u%d@ex-%d.org now", "doc_id", "doc_id"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(" see http://site-%d.io/a?b=%d end", "doc_id", "doc_id"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.format_string(" call +%d ok", F.col("doc_id") + F.lit(19000000)),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TS.scrub_pii(dirty)
+
+
+SQL_PII_SCRUB = f"""
+with dirty as (
+    select doc_id,
+           text
+           || case when doc_id % 3 = 0
+                   then ' contact u' || doc_id || '@ex-' || doc_id || '.org now'
+                   else '' end
+           || case when doc_id % 5 = 0
+                   then ' see http://site-' || doc_id || '.io/a?b=' || doc_id || ' end'
+                   else '' end
+           || case when doc_id % 7 = 0
+                   then ' call +' || (doc_id + 19000000) || ' ok'
+                   else '' end as text
+    from documents
+)
+select cast(doc_id as bigint) as doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{TS.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{TS.PII_URL_RE}', '<URL>', 'g'),
+           '{TS.PII_PHONE_RE}', '<PHONE>', 'g') as clean_text,
+       cast(len(regexp_extract_all(text, '{TS.PII_EMAIL_RE}')) as bigint) as n_emails,
+       cast(len(regexp_extract_all(text, '{TS.PII_URL_RE}')) as bigint) as n_urls,
+       cast(len(regexp_extract_all(text, '{TS.PII_PHONE_RE}')) as bigint) as n_phones
+from dirty"""
+
+
 SQL_DEDUP_KEEP_BEST = (
     "with recursive prs as (select id1, id2 from ("
     + SQL_DEDUP_NGRAM
@@ -1804,6 +1857,7 @@ QUERIES = {
     "token_count": q_token_count,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
+    "pii_scrub": q_pii_scrub,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_running": q_events_running,
@@ -1846,6 +1900,7 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "quality": SQL_QUALITY,
     "fingerprint": SQL_FINGERPRINT,
+    "pii_scrub": SQL_PII_SCRUB,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_running": SQL_EVENTS_RUNNING,

@@ -1,0 +1,480 @@
+"""Drop-in ``EntityResolver`` facade — the reference's top-level UX on Spark.
+
+Mirrors the reference's public API (main.py:45-765: constructor options,
+validated properties, ``resolve`` / ``evaluate`` / ``resolve_and_eval`` over
+graph-JSON + ground-truth-JSON files) so a user of the reference can switch
+with their call sites intact, while every stage executes as the distributed
+operators of this package (blocking self-joins, Arrow-batched kernels,
+connected components / linkage rounds).
+
+Deliberate divergences, each documented on the parameter:
+
+- ``spark``: a SparkSession (or None to create a local one) — the engine is
+  Spark-native; the reference is single-process.
+- ``blocking_strategy``: the reference requires a *pairwise distance
+  callable* driving sequential canopy blocking (resolver.py:347-376) — a
+  driver-side O(n·buckets) loop that cannot run at scale (SURVEY §2.3). Here
+  blocking is equality-key + MinHash-LSH; a callable with the distributed
+  key-generator shape (``docs -> DataFrame(conv_id, block_key)``) plugs in
+  as a custom key source, any other callable is accepted for signature
+  compatibility and ignored with a warning.
+- cluster labels are min-member ids (deterministic under any partitioning),
+  not dense 0..k-1 ints; every supported evaluator is label-invariant.
+"""
+
+from __future__ import annotations
+
+import collections
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STRATEGY_TO_KERNEL = {
+    "stfidf": "stfidf",
+    "soft_tfidf": "stfidf",
+    "jaro_winkler": "jw",
+    "jaro": "jaro",
+    "levenshtein": "lev",
+    "tfidf": "tfidf",
+    "jaccard": "jaccard",
+}
+# reference defaults per attr type (resolver attr-strategy defaults)
+_DEFAULT_STRATEGY = {"person_entity": "jaro_winkler", "text": "stfidf"}
+_REL_STRATEGIES = {
+    "jaccard_coef", "jaccard_coef_fr",
+    "adar_neighbor", "adar_neighbor_fr",
+    "adar_attr", "adar_attr_fr",
+}
+_EVALUATORS = {"precision_recall", "ami", "v_measure"}
+_PRC_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9, 0.95]
+
+
+class EntityResolver:
+    """Reference-parity facade over the Spark pipeline (main.py:45-765)."""
+
+    def __init__(
+        self,
+        attr_types,
+        blocking_strategy=None,
+        raw_blocking: bool = False,
+        alpha: float = 0,
+        weights=None,
+        attr_strategy=None,
+        rel_strategy: str = "jaccard_coef",
+        blocking_threshold=3,
+        bootstrap_strategy=None,
+        raw_bootstrap: bool = False,
+        edge_match_threshold: int = 1,
+        first_attr=None,
+        first_attr_raw: bool = False,
+        second_attr=None,
+        second_attr_raw: bool = False,
+        linkage: str = "max",
+        similarity_threshold: float = 0.935,
+        evaluator_strategy="precision_recall",
+        seed=None,
+        plot_prc: bool = False,
+        verbose: int = 0,
+        spark: SparkSession | None = None,
+        **kwargs,
+    ):
+        if not attr_types:
+            raise ValueError("attr_types must name at least one attribute")
+        self._attr_types = dict(attr_types)
+        self.blocking_strategy = blocking_strategy
+        self.raw_blocking = bool(raw_blocking)
+        self.alpha = alpha
+        self.weights = weights
+        self.attr_strategy = dict(attr_strategy or {})
+        self.rel_strategy = rel_strategy
+        self.blocking_threshold = blocking_threshold
+        self.bootstrap_strategy = bootstrap_strategy
+        self.raw_bootstrap = bool(raw_bootstrap)
+        self.edge_match_threshold = edge_match_threshold
+        self.first_attr = first_attr
+        self.first_attr_raw = bool(first_attr_raw)
+        self.second_attr = second_attr
+        self.second_attr_raw = bool(second_attr_raw)
+        self.linkage = linkage
+        self.similarity_threshold = similarity_threshold
+        self.evaluator_strategy = evaluator_strategy
+        self.seed = seed
+        self.plot_prc = bool(plot_prc)
+        self.verbose = verbose
+        # reference kwargs defaults (main.py:276-281)
+        self._kwargs = {
+            "second_sim": "jaro_winkler",
+            "stfidf_threshold": 0.5,
+            "jw_prefix_weight": 0.1,
+            "average_method": "max",
+        }
+        self._kwargs.update(kwargs)
+        self._spark = spark
+        self._last_scored: DataFrame | None = None
+
+    # ------------------------------------------------------------------ #
+    # validated properties (reference main.py guards assignments the same
+    # way: invalid values raise instead of corrupting a later run)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def attr_types(self):
+        return dict(self._attr_types)
+
+    @property
+    def alpha(self):
+        return self._alpha
+
+    @alpha.setter
+    def alpha(self, v):
+        v = float(v)
+        if not 0 <= v <= 1:
+            raise ValueError(f"alpha must be in [0, 1], got {v}")
+        self._alpha = v
+
+    @property
+    def linkage(self):
+        return self._linkage
+
+    @linkage.setter
+    def linkage(self, v):
+        if v not in ("min", "max", "average"):
+            raise ValueError(f"linkage must be min|max|average, got {v!r}")
+        self._linkage = v
+
+    @property
+    def similarity_threshold(self):
+        return self._similarity_threshold
+
+    @similarity_threshold.setter
+    def similarity_threshold(self, v):
+        v = float(v)
+        if not 0 <= v <= 1:
+            raise ValueError(f"similarity_threshold must be in [0, 1], got {v}")
+        self._similarity_threshold = v
+
+    @property
+    def rel_strategy(self):
+        return self._rel_strategy
+
+    @rel_strategy.setter
+    def rel_strategy(self, v):
+        if v not in _REL_STRATEGIES:
+            raise ValueError(f"rel_strategy must be one of {sorted(_REL_STRATEGIES)}")
+        self._rel_strategy = v
+
+    @property
+    def edge_match_threshold(self):
+        return self._edge_match_threshold
+
+    @edge_match_threshold.setter
+    def edge_match_threshold(self, v):
+        if int(v) != v or v < 0:
+            raise ValueError(f"edge_match_threshold must be an int >= 0, got {v}")
+        self._edge_match_threshold = int(v)
+
+    @property
+    def weights(self):
+        return None if self._weights is None else dict(self._weights)
+
+    @weights.setter
+    def weights(self, v):
+        if v is not None:
+            v = dict(v)
+            if set(v) != set(self._attr_types):
+                raise ValueError(
+                    f"weights keys {sorted(v)} must equal attr_types keys "
+                    f"{sorted(self._attr_types)}"
+                )
+            total = sum(v.values())
+            if abs(total - 1.0) > 1e-9:
+                raise ValueError(f"attribute weights must sum to 1, got {total}")
+        self._weights = v
+
+    @property
+    def evaluator_strategy(self):
+        return self._evaluator_strategy
+
+    @evaluator_strategy.setter
+    def evaluator_strategy(self, v):
+        if not callable(v) and v not in _EVALUATORS:
+            raise ValueError(
+                f"evaluator_strategy must be callable or one of {sorted(_EVALUATORS)}"
+            )
+        self._evaluator_strategy = v
+
+    # ------------------------------------------------------------------ #
+
+    def _get_spark(self) -> SparkSession:
+        if self._spark is None:
+            from .session import get_spark
+
+            self._spark = get_spark(app_name="entity-resolver")
+        return self._spark
+
+    def _attr_kernel(self, attr: str):
+        """-> (weights dict, custom_kernels dict) for one attribute."""
+        strat = self.attr_strategy.get(
+            attr, _DEFAULT_STRATEGY.get(self._attr_types[attr], "stfidf")
+        )
+        if callable(strat):
+            return {"custom": 1.0}, {"custom": strat}
+        if strat not in _STRATEGY_TO_KERNEL:
+            raise ValueError(
+                f"unknown attr_strategy {strat!r} (want one of "
+                f"{sorted(_STRATEGY_TO_KERNEL)} or a batch callable)"
+            )
+        return {_STRATEGY_TO_KERNEL[strat]: 1.0}, {}
+
+    def _parse_graph(self, graph_path: str):
+        """graph JSON -> (docs keyed per attr, edges). Cleaning follows the
+        reference's attr types: person names via clean_person_name, other
+        text lowercased (functions/text.py parity kernels)."""
+        from .functions.text import clean_person_name, tokenize
+        from .sources.legacy import read_graph_json
+
+        spark = self._get_spark()
+        attrs = list(self._attr_types)
+        g = read_graph_json(spark, graph_path, attrs)
+        cols = [F.col("node_id").alias("conv_id"), F.col("edge_id")]
+        for a in attrs:
+            raw = F.coalesce(F.col(a), F.lit(""))
+            use_raw = (self.raw_blocking and a == attrs[0]) or (
+                self.raw_bootstrap and a != attrs[0]
+            )
+            if use_raw or self._attr_types[a] != "person_entity":
+                cleaned = F.lower(F.trim(raw))
+            else:
+                # clean_person_name yields struct(last, first) (reference
+                # parser semantics); kernels/tokens run over "last first"
+                s = clean_person_name(raw)
+                cleaned = F.trim(F.concat_ws(" ", s["last"], s["first"]))
+            cols += [cleaned.alias(a), tokenize(cleaned).alias(f"{a}_tokens")]
+        nodes = g.select(cols).persist()
+        edges = nodes.select("conv_id", "edge_id")
+        return nodes, edges, attrs
+
+    def _block(self, nodes: DataFrame, attrs: list[str]):
+        from .functions.tfidf import doc_frequencies
+        from .operators.blocking import (
+            BlockingConfig,
+            build_blocks,
+            candidate_pairs,
+            token_dictionary,
+        )
+
+        key_attr = attrs[0]
+        docs = nodes.select(
+            "conv_id", F.col(f"{key_attr}_tokens").alias("tokens")
+        )
+        dft = doc_frequencies(docs)
+        custom = None
+        if self.blocking_strategy is not None:
+            if callable(self.blocking_strategy):
+                custom = self.blocking_strategy
+            else:
+                warnings.warn(
+                    "blocking_strategy is not a key-generator callable; "
+                    "sequential canopy blocking is replaced by equality-key +"
+                    " MinHash-LSH blocking (SURVEY §2.3)",
+                    stacklevel=3,
+                )
+        cfg = BlockingConfig(seed=self.seed if self.seed is not None else 7)
+        if custom is not None:
+            try:
+                probe = custom(docs)
+                is_keygen = isinstance(probe, DataFrame)
+            except Exception:
+                probe, is_keygen = None, False
+            if is_keygen:
+                cfg.custom_key_fn = custom
+            else:
+                warnings.warn(
+                    "blocking_strategy callable does not have the distributed "
+                    "key-generator shape (docs -> DataFrame(conv_id, "
+                    "block_key)); using the default key sources",
+                    stacklevel=3,
+                )
+        blocks = build_blocks(docs, token_dictionary(dft), cfg)
+        return candidate_pairs(blocks, cfg), dft
+
+    def _score(self, pairs: DataFrame, nodes: DataFrame, attrs: list[str]):
+        """Per-attr kernels -> weighted attr_sim (reference G1 weighted sum)."""
+        from .operators.scoring import ScoringConfig, score_pairs
+
+        spark = self._get_spark()
+        n_docs = nodes.count()
+        attr_w = self.weights or {a: 1.0 / len(attrs) for a in attrs}
+        combined = None
+        for a in attrs:
+            weights, custom = self._attr_kernel(a)
+            from .functions.tfidf import doc_frequencies
+
+            view = nodes.select(
+                "conv_id",
+                F.col(a).alias("doc"),
+                F.col(a).alias("doc_prefix"),
+                F.col(f"{a}_tokens").alias("tokens"),
+            )
+            need_df = set(weights) & {"tfidf", "stfidf"}
+            dft = doc_frequencies(view) if need_df else None
+            cfg = ScoringConfig(
+                weights=weights,
+                custom_kernels=custom,
+                stfidf_threshold=self._kwargs["stfidf_threshold"],
+                jw_prefix_weight=self._kwargs["jw_prefix_weight"],
+            )
+            s = score_pairs(
+                pairs, view, cfg, df_table=dft, corpus_size=n_docs, spark=spark
+            ).select("id1", "id2", F.col("attr_sim").alias(f"_s_{a}"))
+            combined = s if combined is None else combined.join(s, ["id1", "id2"])
+        expr = None
+        for a in attrs:
+            term = F.lit(float(attr_w[a])) * F.col(f"_s_{a}")
+            expr = term if expr is None else expr + term
+        return combined.select("id1", "id2", expr.alias("attr_sim"))
+
+    def _bootstrap(self, nodes, edges, attrs):
+        """Exact-match pairs passing the >=k edge-match test -> seed clusters
+        (reference resolver.py:378-475). first/second_attr steer which attr
+        the reference's neighbor compare reads; the distributed edge-match
+        compares full exact-attr groups (R2 semantics, bootstrap.py)."""
+        from .operators.bootstrap import edge_match_filter, exact_match_edges
+        from .operators.cc import connected_components
+
+        if self.bootstrap_strategy is not None and not callable(
+            self.bootstrap_strategy
+        ):
+            raise ValueError("bootstrap_strategy must be a callable or None")
+        docs = nodes.select("conv_id", *attrs)
+        exact = exact_match_edges(docs, attrs)
+        groups = docs.select(
+            "conv_id", F.struct(*[F.col(a) for a in attrs]).alias("group")
+        )
+        if self.edge_match_threshold > 0:
+            seeds = edge_match_filter(
+                exact, edges, groups, k=self.edge_match_threshold
+            )
+        else:
+            seeds = exact
+        comps = connected_components(seeds, checkpoint=False)
+        return nodes.select("conv_id").join(comps, "conv_id", "left").select(
+            "conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id")
+        )
+
+    def _resolve_df(self, graph_path: str) -> DataFrame:
+        from .operators.bootstrap import negative_constraint_filter
+        from .operators.cc import assign_clusters, connected_components
+        from .operators.iterative import resolve_iterative
+        from .operators.linkage import linkage_clustering
+
+        nodes, edges, attrs = self._parse_graph(graph_path)
+        pairs, _ = self._block(nodes, attrs)
+        # negative constraint: co-members of one hyper-edge are distinct by
+        # construction (advanced_guide.rst:87-92) — always applied
+        pairs = negative_constraint_filter(pairs, edges)
+        scored = self._score(pairs, nodes, attrs).persist()
+        self._last_scored = scored
+        seeds = self._bootstrap(nodes, edges, attrs)
+        ids = nodes.select("conv_id")
+        thr = self.similarity_threshold
+        if self.alpha > 0:
+            a1 = attrs[0]
+            a2 = attrs[1] if len(attrs) > 1 else attrs[0]
+            asg = resolve_iterative(
+                scored, ids, edges, self.alpha, thr,
+                rel_strategy=self.rel_strategy, linkage=self.linkage,
+                attr_docs=nodes.select("conv_id", *attrs),
+                a1=a1, a2=a2, initial_assignment=seeds,
+            )
+        elif self.linkage == "max":
+            edges_thr = (
+                scored.filter(F.col("attr_sim") >= F.lit(thr))
+                .select("id1", "id2")
+                .unionByName(
+                    seeds.filter(F.col("conv_id") != F.col("cluster_id")).select(
+                        F.col("cluster_id").alias("id1"),
+                        F.col("conv_id").alias("id2"),
+                    )
+                )
+            )
+            asg = assign_clusters(
+                ids, connected_components(edges_thr, checkpoint=False)
+            )
+        else:
+            asg = linkage_clustering(
+                scored.select("id1", "id2", F.col("attr_sim").alias("sim")),
+                ids, thr, self.linkage, initial_assignment=seeds,
+            )
+        return asg
+
+    # ------------------------------------------------------------------ #
+    # public API (reference main.py:611-765)
+    # ------------------------------------------------------------------ #
+
+    def resolve(self, graph_path: str) -> collections.OrderedDict:
+        """Graph JSON -> OrderedDict {node_id: cluster label}, ascending ids
+        (reference main.py:611-634; raises under plot_prc the same way)."""
+        if self.plot_prc:
+            raise ValueError(
+                "Cannot plot precision-recall curve when only resolving "
+                "entities. Use resolve_and_eval instead."
+            )
+        rows = self._resolve_df(graph_path).orderBy("conv_id").collect()
+        return collections.OrderedDict(
+            (int(r["conv_id"]), int(r["cluster_id"])) for r in rows
+        )
+
+    def _labels_df(self, ground_truth_path: str) -> DataFrame:
+        from .sources.legacy import read_ground_truth_json
+
+        return read_ground_truth_json(self._get_spark(), ground_truth_path).select(
+            F.col("node_id").alias("conv_id"), F.col("cluster_id").alias("entity_id")
+        )
+
+    def evaluate(self, ground_truth_path: str, resolved_mapping) -> object:
+        """Score a resolved mapping against ground truth (main.py:636-672):
+        precision_recall -> (p, r, f1); ami / v_measure -> float; callable ->
+        its return value."""
+        if self.plot_prc:
+            raise ValueError(
+                "Cannot plot precision-recall curve when only evaluating the "
+                "performance. Use resolve_and_eval instead."
+            )
+        from .evaluate import evaluate as eval_dispatch
+
+        spark = self._get_spark()
+        preds = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in resolved_mapping.items()],
+            "conv_id long, cluster_id long",
+        )
+        kw = {}
+        if self.evaluator_strategy == "ami":
+            kw["average_method"] = self._kwargs["average_method"]
+        return eval_dispatch(
+            self._labels_df(ground_truth_path), preds,
+            strategy=self.evaluator_strategy, **kw,
+        )
+
+    def resolve_and_eval(self, ground_truth_path: str, graph_path: str):
+        """Resolve then evaluate (main.py:674-765). With ``plot_prc`` returns
+        (score, [(precision, recall), ...]) — the curve sampled at fixed
+        thresholds from ONE scored-pairs pass instead of the reference's
+        mid-merge re-evaluations (evaluate.precision_recall_sweep)."""
+        plot = self.plot_prc
+        self.plot_prc = False
+        try:
+            resolved = self.resolve(graph_path)
+            score = self.evaluate(ground_truth_path, resolved)
+        finally:
+            self.plot_prc = plot
+        if not plot:
+            return score
+        from .evaluate import precision_recall_sweep
+
+        sweep = precision_recall_sweep(
+            self._last_scored, self._labels_df(ground_truth_path),
+            _PRC_THRESHOLDS, sim_col="attr_sim",
+        ).orderBy("threshold").collect()
+        return score, [(r["precision"], r["recall"]) for r in sweep]

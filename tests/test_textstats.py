@@ -64,3 +64,29 @@ def test_fingerprints_stable_across_partitioning(spark, documents):
     f1 = sorted(TS.doc_fingerprints(documents).collect())
     f2 = sorted(TS.doc_fingerprints(documents.repartition(7)).collect())
     assert f1 == f2
+
+
+def test_scrub_pii(spark):
+    from entityresolution_capstone_spark.operators.textstats import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org and x@y.io now"),
+            (2, "see https://a.io/p?q=1 or http://b.c/d before end"),
+            (3, "call +12345678 or +123456789012345 not +123 now"),
+            (4, "clean text with no pii at all"),
+            (5, "mix u@v.wx http://z.a +9876543 done"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[1]["n_emails"] == 2
+    assert out[2]["clean_text"] == "see <URL> or <URL> before end"
+    assert out[2]["n_urls"] == 2
+    # +123 is too short for the 7-15 digit phone pattern
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE> not +123 now"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["clean_text"] == "clean text with no pii at all"
+    assert (out[4]["n_emails"], out[4]["n_urls"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[5]["clean_text"] == "mix <EMAIL> <URL> <PHONE> done"
