@@ -132,9 +132,10 @@ process tree PINNED to exactly that many cores with `taskset` (local[N]
 bounds JVM task threads only; unpinned pandas-UDF python workers would let
 the small level borrow idle cores and deflate the ratio). Throughput metric:
 candidate-pairs-scored/sec — the q_score stage scores the full salted
-candidate set with the complete kernel stack (vectorized Jaro-Winkler pandas
-UDF + JVM scaled-Levenshtein + TF-IDF cosine, 128-char prefixes); blocking /
-pair generation is reported separately as q_block.
+candidate set with the complete kernel stack (one fused Arrow UDF: bit-
+parallel greedy Jaro-Winkler + bit-parallel Myers Levenshtein; JVM TF-IDF
+cosine; 128-char prefixes); blocking / pair generation is reported
+separately as q_block.
 
 | level | cores | pairs scored | wall (s) | pairs/sec |
 |---|---|---|---|---|
