@@ -288,7 +288,11 @@ class EntityResolver:
             except Exception:
                 probe, is_keygen = None, False
             if is_keygen:
+                # reference semantics: a user blocking_strategy REPLACES
+                # blocking — the custom keys are the only key source
                 cfg.custom_key_fn = custom
+                cfg.use_token_keys = False
+                cfg.use_minhash = False
             else:
                 warnings.warn(
                     "blocking_strategy callable does not have the distributed "

@@ -52,8 +52,13 @@ def read_ground_truth_json(spark: SparkSession, path: str) -> DataFrame:
 def read_citeseer_dat(
     spark: SparkSession, path: str, drop_corrupt_ids: tuple[int, ...] = (2716,)
 ) -> DataFrame:
-    """Pipe-delimited author rows -> typed columns, corrupt ids dropped."""
-    raw = spark.read.csv(path, sep="|", header=False)
+    """Pipe-delimited author rows -> typed columns, corrupt ids dropped.
+
+    Quoting is DISABLED: the reference parses with a plain text split
+    (scripts.py:94-101), and real citeseer titles contain unbalanced ``"``
+    characters — CSV quote handling would silently swallow the rows after
+    one (measured: 2 records lost on citeseer-mrdm05)."""
+    raw = spark.read.option("quote", "").csv(path, sep="|", header=False)
     cols = [
         "author_id",
         "author_cluster_id",
