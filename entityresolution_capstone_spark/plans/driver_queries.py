@@ -763,6 +763,35 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """Multimodal decode plumbing under the exact-oracle gate: synthesize a
+    binary media table from documents (text bytes as payload), run the
+    partition-preserving mapInPandas decode, emit the engine-independent
+    outputs (byte count + sha256 + decoder tag). The stub feature floats are
+    excluded (sha-derived uint32 reinterpretation isn't ANSI-SQL); they stay
+    pinned by tests/test_multimodal.py."""
+    from ..operators.multimodal import decode_media, synthesize_media
+
+    media = synthesize_media(load(spark, sf_dir, "documents"), kind="image")
+    out = decode_media(media)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256",
+        "decoder",
+    )
+
+
+SQL_MEDIA_DECODE = """
+select cast(doc_id as bigint) as media_id,
+       'image' as kind,
+       cast(octet_length(encode(text)) as bigint) as n_bytes,
+       sha256(text) as sha256,
+       'stub' as decoder
+from documents"""
+
+
 # SQL_DEDUP_KEEP_BEST is assembled after SQL_QUALITY is defined (below the
 # textstats oracles) — it embeds both the ngram-pair and the quality queries.
 
@@ -1858,6 +1887,7 @@ QUERIES = {
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "pii_scrub": q_pii_scrub,
+    "media_decode": q_media_decode,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_running": q_events_running,
@@ -1901,6 +1931,7 @@ ORACLES = {
     "quality": SQL_QUALITY,
     "fingerprint": SQL_FINGERPRINT,
     "pii_scrub": SQL_PII_SCRUB,
+    "media_decode": SQL_MEDIA_DECODE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_running": SQL_EVENTS_RUNNING,
