@@ -229,6 +229,37 @@ SQL_ER_CANONICALIZE = (
 )
 
 
+def q_streaming_canonicalize(spark, sf_dir):
+    """Structured Streaming under the exact-oracle gate: the derived
+    transcripts replay as a file stream (Trigger.AvailableNow) through the
+    incremental ingest — watermark + dropDuplicatesWithinWatermark, then the
+    bucket-partitioned idempotent foreachBatch upsert — and the materialized
+    docs table is returned. A conversation's doc is a pure function of its
+    turns, so the streaming result must equal batch canonicalization: the
+    same CANON_CTE oracle grades the streaming path exactly."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import start_ingest
+
+    base = tempfile.mkdtemp(prefix="ercs-stream-")
+    inp = os.path.join(base, "in")
+    derive_transcripts(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    q = start_ingest(
+        spark,
+        inp,
+        os.path.join(base, "staging"),
+        os.path.join(base, "docs"),
+        os.path.join(base, "ckpt"),
+        available_now=True,
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "docs")).select(
+        "conv_id", "doc", F.col("n_turns").cast("long").alias("n_turns")
+    )
+
+
 def q_er_tokens(spark, sf_dir):
     t = derive_transcripts(spark, sf_dir)
     docs = canonical_docs(t)
@@ -1855,6 +1886,7 @@ join sizes z2 on z2.cluster_id = agg.c2"""
 
 QUERIES = {
     "er_canonicalize": q_er_canonicalize,
+    "streaming_canonicalize": q_streaming_canonicalize,
     "er_tokens": q_er_tokens,
     "er_minhash_bands": q_er_minhash_bands,
     "er_candidate_pairs": q_er_candidate_pairs,
@@ -1899,6 +1931,7 @@ QUERIES = {
 
 ORACLES = {
     "er_canonicalize": SQL_ER_CANONICALIZE,
+    "streaming_canonicalize": SQL_ER_CANONICALIZE,
     "er_tokens": SQL_ER_TOKENS,
     "er_minhash_bands": SQL_ER_MINHASH_BANDS,
     "er_candidate_pairs": SQL_ER_CANDIDATE_PAIRS,
