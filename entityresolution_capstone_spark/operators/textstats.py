@@ -176,3 +176,62 @@ def scrub_pii(
         F.regexp_count(t, F.lit(PII_URL_RE)).cast("long").alias("n_urls"),
         F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget sharding)
+# ---------------------------------------------------------------------------
+
+def pack_documents(
+    documents: DataFrame,
+    token_budget: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_expr=None,
+) -> DataFrame:
+    """(doc_id, bucket, seq_id, n_tokens): group docs into training sequences.
+
+    ``bucket_expr``: optional Column->Column hash override (default
+    xxhash64); pass an arithmetic hash when the assignment must reproduce
+    outside Spark (the DuckDB oracle does).
+
+    The packing step of a pre-training pipeline: documents are concatenated
+    into fixed-token-budget sequences. A global greedy pack is inherently
+    sequential, so the distributed shape is HASH-BUCKETED packing: docs land
+    in ``pmod(xxhash64(id), n_buckets)`` buckets, and WITHIN each bucket the
+    deterministic id order defines a running token total whose
+    ``floor(prior_total / budget)`` is the sequence number. One window per
+    bucket — all buckets pack in parallel, and the assignment is independent
+    of physical partitioning (stable for resume / re-runs).
+
+    Docs longer than the budget occupy (at least) their own sequence, same
+    as real packers that truncate/split downstream. Packing efficiency loses
+    only the per-bucket boundary remainders vs a global pack — at
+    corpus/n_buckets >> budget the waste is negligible, while a global-order
+    window would serialize the corpus through one task.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        bucket_expr(F.col(id_col))
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    )
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        h.cast("int").alias("bucket"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prior = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "bucket",
+        F.floor(prior / F.lit(int(token_budget))).cast("long").alias("seq_id"),
+        "n_tokens",
+    )

@@ -794,6 +794,43 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+# deterministic split/pack hash: Knuth multiplicative hashing on the id —
+# chosen (over xxhash64) for these driver queries so the DuckDB oracle
+# reproduces the assignment exactly; the operators default to xxhash64
+SPLIT_MULT = 2654435761
+SPLIT_DENOM = 1_000_000
+
+
+def q_doc_pack(spark, sf_dir):
+    """Sequence packing: token counts -> hash-bucketed running-total packing
+    into 512-token training sequences (one window per bucket, all buckets in
+    parallel). Knuth-hash bucketing so the oracle replays the assignment."""
+    h = lambda c: F.pmod(c.cast("long") * F.lit(SPLIT_MULT), F.lit(16))  # noqa: E731
+    out = TS.pack_documents(
+        load(spark, sf_dir, "documents"), token_budget=512, n_buckets=16,
+        bucket_expr=h,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "bucket", "seq_id", "n_tokens",
+    )
+
+
+SQL_DOC_PACK = f"""
+with toks as (
+    select doc_id,
+           cast((doc_id * {SPLIT_MULT}) % 16 as int) as bucket,
+           cast(len({TOK}) as bigint) as n_tokens
+    from documents
+)
+select cast(doc_id as bigint) as doc_id, bucket,
+       cast(floor((sum(n_tokens) over (partition by bucket order by doc_id
+                   rows between unbounded preceding and current row)
+                   - n_tokens) / 512) as bigint) as seq_id,
+       n_tokens
+from toks"""
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal decode plumbing under the exact-oracle gate: synthesize a
     binary media table from documents (text bytes as payload), run the
@@ -825,13 +862,6 @@ from documents"""
 
 # SQL_DEDUP_KEEP_BEST is assembled after SQL_QUALITY is defined (below the
 # textstats oracles) — it embeds both the ngram-pair and the quality queries.
-
-
-# deterministic split hash: Knuth multiplicative hashing on the id — chosen
-# (over xxhash64) for the driver query so the DuckDB oracle reproduces the
-# assignment exactly; hash_split's default remains xxhash64 for string keys
-SPLIT_MULT = 2654435761
-SPLIT_DENOM = 1_000_000
 
 
 def q_doc_split(spark, sf_dir):
@@ -1920,6 +1950,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "pii_scrub": q_pii_scrub,
     "media_decode": q_media_decode,
+    "doc_pack": q_doc_pack,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_running": q_events_running,
@@ -1965,6 +1996,7 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "pii_scrub": SQL_PII_SCRUB,
     "media_decode": SQL_MEDIA_DECODE,
+    "doc_pack": SQL_DOC_PACK,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_running": SQL_EVENTS_RUNNING,

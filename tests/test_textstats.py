@@ -90,3 +90,28 @@ def test_scrub_pii(spark):
     assert out[4]["clean_text"] == "clean text with no pii at all"
     assert (out[4]["n_emails"], out[4]["n_urls"], out[4]["n_phones"]) == (0, 0, 0)
     assert out[5]["clean_text"] == "mix <EMAIL> <URL> <PHONE> done"
+
+
+def test_pack_documents(spark):
+    from pyspark.sql import functions as F
+
+    from entityresolution_capstone_spark.operators.textstats import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (10 + (i * 7) % 40)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = pack_documents(docs, token_budget=100, n_buckets=8)
+    rows = out.collect()
+    assert len(rows) == 300
+    # every doc assigned; within a bucket, sequence token totals respect the
+    # budget except for the one doc that straddles a boundary
+    per_seq = (
+        out.groupBy("bucket", "seq_id").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    assert all(r["t"] < 100 + 50 for r in per_seq)  # max doc is 49 tokens
+    # assignment is independent of physical partitioning
+    again = pack_documents(
+        docs.orderBy(F.rand(seed=3)).repartition(11), token_budget=100, n_buckets=8
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
