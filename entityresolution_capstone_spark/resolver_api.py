@@ -374,10 +374,15 @@ class EntityResolver:
         from .operators.linkage import linkage_clustering
 
         nodes, edges, attrs = self._parse_graph(graph_path)
+        self._nodes = nodes  # released by resolve() once the result is out
         pairs, _ = self._block(nodes, attrs)
         # negative constraint: co-members of one hyper-edge are distinct by
         # construction (advanced_guide.rst:87-92) — always applied
         pairs = negative_constraint_filter(pairs, edges)
+        if self._last_scored is not None:
+            # release the previous resolve's persisted pair scores — repeated
+            # resolve() calls on one session must not accumulate storage
+            self._last_scored.unpersist()
         scored = self._score(pairs, nodes, attrs).persist()
         self._last_scored = scored
         seeds = self._bootstrap(nodes, edges, attrs)
@@ -426,6 +431,9 @@ class EntityResolver:
                 "entities. Use resolve_and_eval instead."
             )
         rows = self._resolve_df(graph_path).orderBy("conv_id").collect()
+        if getattr(self, "_nodes", None) is not None:
+            self._nodes.unpersist()
+            self._nodes = None
         return collections.OrderedDict(
             (int(r["conv_id"]), int(r["cluster_id"])) for r in rows
         )

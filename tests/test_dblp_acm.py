@@ -85,7 +85,9 @@ def matches(spark):
         F.concat(F.lit("a:"), F.col("idACM")).alias("id1"),
         F.concat(F.lit("d:"), F.col("idDBLP")).alias("id2"),
     ).persist()
-    return pred, truth
+    yield pred, truth
+    for df in (docs, dft, scored, pred, truth):
+        df.unpersist()
 
 
 def test_dblp_acm_linkage_quality(spark, matches):
