@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -55,7 +56,16 @@ def main():
 
     from entityresolution_capstone_spark.session import get_spark
 
-    spark = get_spark(app_name="check-correctness", master="local[8]", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="check-correctness",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            # sf0.1 stress runs collect ~10^6-row results; the 1g default
+            # heap OOMs (effective only when this process starts the JVM)
+            "spark.driver.memory": os.environ.get("ERCS_CHECK_DRIVER_MEM", "16g"),
+        },
+    )
 
     con = duckdb.connect()
     for t in TABLES:
