@@ -1283,13 +1283,24 @@ group by doc_id"""
 # ---------------------------------------------------------------------------
 
 def q_events_hourly(spark, sf_dir):
+    """Hourly counts + averages. The average runs over exact integer
+    micro-units (round(value*1e6) summed as bigint): a double avg() is
+    summation-order-dependent and flipped one 6dp-rounded group at sf0.1
+    between engines (1-ulp difference on a round-half boundary); the integer
+    sum is order-independent, so both engines divide identical numbers."""
     ev = load(spark, sf_dir, "events")
+    vmicro = F.round(F.col("value") * 1_000_000).cast("long")
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(vmicro) / (F.count("*") * F.lit(1_000_000.0)), 6).alias(
+                "avg_value"
+            ),
+        )
     )
 
 
@@ -1297,7 +1308,8 @@ SQL_EVENTS_HOURLY = """
 select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') as hour,
        event_type,
        count(*) as n,
-       round(avg(value), 6) as avg_value
+       round(sum(cast(round(value * 1000000) as bigint))
+             / (count(*) * 1000000.0), 6) as avg_value
 from events group by 1, 2"""
 
 
