@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.ids import dense_rank_ids
-from ..functions.text import tokenize
+from ..functions.text import token_ngrams, tokenize
 
 MERSENNE_P = 2147483647
 POS_MULT = 2654435761 % MERSENNE_P
@@ -134,6 +134,50 @@ def doc_fingerprints(documents: DataFrame, id_col: str = "doc_id", text_col: str
     return (
         pos.groupBy("doc_id")
         .agg((F.sum(term) % F.lit(MERSENNE_P)).alias("fingerprint"))
+    )
+
+
+def repetition_scores(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_2grams, dup_2gram_frac, top_2gram_frac, dup_3gram_frac):
+    Gopher-style repetition signals (Rae et al. 2021, MassiveText rules).
+
+    - ``dup_Ngram_frac``: fraction of N-gram occurrences that are repeats of
+      an earlier N-gram in the same document: ``(total - distinct) / total``;
+    - ``top_2gram_frac``: occurrences of the single most frequent 2-gram over
+      total 2-gram occurrences (token-count variant of Gopher's top-n-gram
+      character fraction).
+
+    Shape: explode grams -> one partial aggregate on (doc, gram) -> one final
+    aggregate on doc — both map-side combinable; no window, no UDF, no
+    per-doc collect. Docs with no grams (empty text) keep a row with zeroed
+    counts/fractions.
+    """
+
+    def per_doc(n: int, prefix: str) -> DataFrame:
+        g = documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(token_ngrams(tokenize(F.col(text_col)), n)).alias("gram"),
+        )
+        cnt = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+        return cnt.groupBy("doc_id").agg(
+            F.sum("cnt").cast("long").alias(f"{prefix}total"),
+            F.count("*").cast("long").alias(f"{prefix}distinct"),
+            F.max("cnt").cast("long").alias(f"{prefix}top"),
+        )
+
+    g2, g3 = per_doc(2, "_2"), per_doc(3, "_3")
+    base = documents.select(F.col(id_col).alias("doc_id"))
+    out = base.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
+    t2 = F.coalesce("_2total", F.lit(0))
+    t3 = F.coalesce("_3total", F.lit(0))
+    return out.select(
+        "doc_id",
+        t2.cast("long").alias("n_2grams"),
+        F.when(t2 > 0, (t2 - F.col("_2distinct")) / t2).otherwise(0.0).alias("dup_2gram_frac"),
+        F.when(t2 > 0, F.col("_2top") / t2).otherwise(0.0).alias("top_2gram_frac"),
+        F.when(t3 > 0, (t3 - F.col("_3distinct")) / t3).otherwise(0.0).alias("dup_3gram_frac"),
     )
 
 

@@ -774,6 +774,107 @@ join sizes s2 on s2.doc_id = c.id2
 where coalesce(i.n_inter, 0)::double / (s1.n + s2.n - coalesce(i.n_inter, 0)) >= 0.6"""
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (textstats.repetition_scores):
+    duplicate-2/3-gram fractions + top-2-gram occupancy per document."""
+    r = TS.repetition_scores(load(spark, sf_dir, "documents"))
+    return r.select(
+        "doc_id",
+        "n_2grams",
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+    )
+
+
+def _sql_gram_cte(n: int, name: str) -> str:
+    """Per-doc gram stats CTE for n-grams (token_ngrams semantics: arrays
+    shorter than n yield one whole-array gram; empty arrays none)."""
+    k = n - 1
+    return f"""
+{name}_g as (
+    select doc_id, unnest(gl) as gram
+    from (
+        select doc_id,
+               case when len(t) = 0 then []
+                    else [array_to_string(list_slice(t, s, s + {k}), ' ')
+                          for s in range(1, greatest(len(t) - {k}, 1) + 1)] end as gl
+        from toks
+    )
+),
+{name} as (
+    select doc_id,
+           cast(sum(cnt) as bigint) as total,
+           cast(count(*) as bigint) as n_distinct,
+           cast(max(cnt) as bigint) as top
+    from (select doc_id, gram, count(*) as cnt from {name}_g group by doc_id, gram)
+    group by doc_id
+)"""
+
+
+SQL_REPETITION = f"""
+with toks as (select doc_id, {TOK} as t from documents),
+{_sql_gram_cte(2, "s2")},
+{_sql_gram_cte(3, "s3")}
+select d.doc_id,
+       cast(coalesce(s2.total, 0) as bigint) as n_2grams,
+       round(case when coalesce(s2.total, 0) > 0
+                  then (s2.total - s2.n_distinct) / s2.total::double else 0.0 end, 6)
+           as dup_2gram_frac,
+       round(case when coalesce(s2.total, 0) > 0
+                  then s2.top / s2.total::double else 0.0 end, 6) as top_2gram_frac,
+       round(case when coalesce(s3.total, 0) > 0
+                  then (s3.total - s3.n_distinct) / s3.total::double else 0.0 end, 6)
+           as dup_3gram_frac
+from documents d
+left join s2 on s2.doc_id = d.doc_id
+left join s3 on s3.doc_id = d.doc_id"""
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): distinct-3-gram
+    overlap of every document against a deterministic eval subset
+    (doc_id % 101 == 7); contaminated = >= 2 shared grams with ONE bench doc.
+    The bench gram table is broadcast — the corpus is never self-joined."""
+    from ..operators.decontam import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    return decontaminate(docs, bench, n=3, min_hits=2)
+
+
+SQL_DECONTAM = f"""
+with toks as (select doc_id, {TOK} as t from documents),
+grams as (
+    select doc_id, unnest(list_distinct(gl)) as gram
+    from (
+        select doc_id,
+               case when len(t) = 0 then []
+                    else [array_to_string(list_slice(t, s, s + 2), ' ')
+                          for s in range(1, greatest(len(t) - 2, 1) + 1)] end as gl
+        from toks
+    )
+),
+bg as (select doc_id as bid, gram from grams where doc_id % 101 = 7),
+sizes as (select doc_id, cast(count(*) as bigint) as n_grams from grams group by doc_id),
+ov as (
+    select g.doc_id, b.bid, count(*) as ov
+    from grams g join bg b using (gram)
+    group by g.doc_id, b.bid
+),
+pd as (
+    select doc_id,
+           max(ov) as max_overlap,
+           sum(case when ov >= 2 then 1 else 0 end) as n_bench_hit
+    from ov group by doc_id
+)
+select s.doc_id, s.n_grams,
+       cast(coalesce(p.max_overlap, 0) as bigint) as max_overlap,
+       cast(coalesce(p.n_bench_hit, 0) as bigint) as n_bench_hit,
+       coalesce(p.max_overlap, 0) >= 2 as contaminated
+from sizes s left join pd p using (doc_id)"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Near-dup consolidation: n-gram dup pairs -> transitive closure -> keep
     the highest-quality member per cluster (ties: smallest doc_id). The
@@ -1970,6 +2071,8 @@ QUERIES = {
     "events_range": q_events_range,
     "events_rollup": q_events_rollup,
     "er_cluster_neighbors": q_er_cluster_neighbors,
+    "decontam": q_decontam,
+    "repetition": q_repetition,
 }
 
 ORACLES = {
@@ -2016,6 +2119,8 @@ ORACLES = {
     "events_range": SQL_EVENTS_RANGE,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "er_cluster_neighbors": SQL_ER_CLUSTER_NEIGHBORS,
+    "decontam": SQL_DECONTAM,
+    "repetition": SQL_REPETITION,
 }
 
 

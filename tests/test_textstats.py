@@ -115,3 +115,31 @@ def test_pack_documents(spark):
         docs.orderBy(F.rand(seed=3)).repartition(11), token_budget=100, n_buckets=8
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_repetition_scores(spark):
+    from entityresolution_capstone_spark.operators.textstats import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a": 2-grams = [ab, ba, ab, ba] -> total 4, distinct 2,
+            # top 2; 3-grams = [aba, bab, aba] -> total 3, distinct 2
+            (1, "a b a b a"),
+            # no repetition: 2-grams all distinct
+            (2, "one two three four"),
+            # empty text -> zeroed row kept
+            (3, "   "),
+            # shorter than n: one whole-array gram for both n
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert out[1]["n_2grams"] == 4
+    assert abs(out[1]["dup_2gram_frac"] - 0.5) < 1e-9
+    assert abs(out[1]["top_2gram_frac"] - 0.5) < 1e-9
+    assert abs(out[1]["dup_3gram_frac"] - (1 / 3)) < 1e-9
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert abs(out[2]["top_2gram_frac"] - (1 / 3)) < 1e-9
+    assert out[3]["n_2grams"] == 0 and out[3]["dup_2gram_frac"] == 0.0
+    assert out[4]["n_2grams"] == 1 and out[4]["dup_2gram_frac"] == 0.0
