@@ -141,7 +141,10 @@ def rel_sim_pairs(
     key) plus one cluster-cardinality totals table — never a row per
     (pair, union-neighbor). Pairs in ``pairs`` with no shared neighbor are
     not returned (their score is 0; callers that need them left-join with
-    coalesce(0.0), as operators/iterative.py does).
+    coalesce(0.0), as operators/iterative.py does). ``pairs`` must be in
+    canonical order (``c1 < c2``, as every pair-enumeration operator here
+    emits): the intersection self-join keeps only canonical orientations, so
+    a reversed pair would silently score as absent.
     """
     multiset = strategy.endswith("_fr")
     counts = nbrs.groupBy("cluster", "nbr").agg(F.count("*").alias("cnt"))
