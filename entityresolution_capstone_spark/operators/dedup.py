@@ -537,6 +537,43 @@ def keep_best_duplicates(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict,
+    key_col: str,
+    default_rate: float = 1.0,
+    seed: int = 11,
+    hash_expr=None,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep each row with its
+    stratum's rate, decided by hashing the KEY (not random()).
+
+    The corpus-mixing step of a pre-training pipeline ("keep 10% of low-
+    quality web text, 100% of books"): ``rates`` maps stratum value ->
+    keep-rate in [0, 1]; strata absent from the map use ``default_rate``.
+    Keying the decision on a hash of ``key_col`` makes the sample stable
+    under reordering, repartitioning, and corpus growth — a doc keeps its
+    in/out decision across pipeline runs, and re-running with a raised rate
+    strictly grows the sample (the kept set at rate r is a subset of the
+    kept set at r' > r). Pure column algebra: a projection + filter, no
+    shuffle, no UDF. ``hash_expr`` pins an arithmetic hash family when the
+    decision must reproduce outside Spark (the DuckDB oracle does).
+    """
+    denom = 1_000_000
+    h = (
+        hash_expr(F.col(key_col))
+        if hash_expr is not None
+        else F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(denom))
+    )
+    rate = None
+    for value, r in rates.items():
+        cond = F.col(strata_col) == F.lit(value)
+        rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(float(default_rate))
+    return df.filter(h < rate * denom)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -222,6 +222,35 @@ def scrub_pii(
     )
 
 
+PII_DOMAIN_RE = r"https?://([^/ ]+)"
+
+
+def domain_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(domain, n_docs, n_urls): per-domain source statistics over in-text URLs.
+
+    The provenance-audit step of a web-corpus pipeline (domain blocklists,
+    per-source mixing weights): extract every URL (same pattern as
+    :func:`scrub_pii`), take its lowercased host, and aggregate document and
+    occurrence counts per domain. Extraction is a projection (regexp_extract_all
+    runs JVM-side); the only shuffle is the per-domain aggregate, map-side
+    combined, with cardinality = distinct domains (tiny vs the corpus).
+    """
+    urls = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(PII_URL_RE), F.lit(0))).alias("url"),
+    )
+    return (
+        urls.select("doc_id", F.lower(F.regexp_extract("url", PII_DOMAIN_RE, 1)).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_urls"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (token-budget sharding)
 # ---------------------------------------------------------------------------

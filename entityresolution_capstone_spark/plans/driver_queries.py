@@ -1322,6 +1322,81 @@ select cast(doc_id as bigint) as doc_id,
 from dirty"""
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-domain URL provenance stats (textstats.domain_stats). The synthetic
+    corpus carries no URLs, so the query injects them deterministically with a
+    SHARED domain structure (37 'site' + 11 'cdn' hosts, mixed case to grade
+    the lowercasing) — identical construction in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(" see http://Site-%d.IO/p/%d now", F.col("doc_id") % 37, F.col("doc_id")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.format_string(" and https://cdn-%d.net/x?q=%d", F.col("doc_id") % 11, F.col("doc_id")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TS.domain_stats(dirty)
+
+
+SQL_DOMAIN_STATS = f"""
+with dirty as (
+    select doc_id,
+           text
+           || ' see http://Site-' || (doc_id % 37) || '.IO/p/' || doc_id || ' now'
+           || case when doc_id % 4 = 0
+                   then ' and https://cdn-' || (doc_id % 11) || '.net/x?q=' || doc_id
+                   else '' end as text
+    from documents
+),
+urls as (
+    select doc_id, unnest(regexp_extract_all(text, '{TS.PII_URL_RE}')) as url from dirty
+)
+select lower(regexp_extract(url, 'https?://([^/ ]+)', 1)) as domain,
+       cast(count(distinct doc_id) as bigint) as n_docs,
+       cast(count(*) as bigint) as n_urls
+from urls group by 1"""
+
+
+def q_doc_sample(spark, sf_dir):
+    """Deterministic stratified downsampling (dedup.stratified_sample): strata
+    by token-count band (short <40, medium <70, long), keep rates 25%/50%/100%,
+    decision keyed on the Knuth hash of doc_id so the sample is stable under
+    reordering and corpus growth."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokenize(F.col("text"))).alias("_n"),
+    )
+    strat = docs.withColumn(
+        "stratum",
+        F.when(F.col("_n") < 40, "short").when(F.col("_n") < 70, "medium").otherwise("long"),
+    )
+    h = lambda c: F.pmod(c.cast("long") * F.lit(SPLIT_MULT), F.lit(SPLIT_DENOM))  # noqa: E731
+    out = D.stratified_sample(
+        strat, "stratum", {"short": 0.25, "medium": 0.5, "long": 1.0},
+        key_col="doc_id", hash_expr=h,
+    )
+    return out.select("doc_id", "stratum")
+
+
+SQL_DOC_SAMPLE = f"""
+with strat as (
+    select cast(doc_id as bigint) as doc_id,
+           case when len({TOK}) < 40 then 'short'
+                when len({TOK}) < 70 then 'medium'
+                else 'long' end as stratum
+    from documents
+)
+select doc_id, stratum
+from strat
+where (doc_id * {SPLIT_MULT}) % {SPLIT_DENOM} <
+      cast(case stratum when 'short' then 0.25 when 'medium' then 0.5 else 1.0 end
+           * {SPLIT_DENOM} as bigint)"""
+
+
 SQL_DEDUP_KEEP_BEST = (
     "with recursive prs as (select id1, id2 from ("
     + SQL_DEDUP_NGRAM
@@ -2073,6 +2148,8 @@ QUERIES = {
     "er_cluster_neighbors": q_er_cluster_neighbors,
     "decontam": q_decontam,
     "repetition": q_repetition,
+    "domain_stats": q_domain_stats,
+    "doc_sample": q_doc_sample,
 }
 
 ORACLES = {
@@ -2121,6 +2198,8 @@ ORACLES = {
     "er_cluster_neighbors": SQL_ER_CLUSTER_NEIGHBORS,
     "decontam": SQL_DECONTAM,
     "repetition": SQL_REPETITION,
+    "domain_stats": SQL_DOMAIN_STATS,
+    "doc_sample": SQL_DOC_SAMPLE,
 }
 
 

@@ -63,3 +63,33 @@ def test_hash_split_stable_under_corpus_growth(spark):
     a = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id").collect()}
     b = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id").collect()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def test_stratified_sample(spark):
+    from pyspark.sql import functions as F
+
+    from entityresolution_capstone_spark.operators.dedup import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "low" if i % 2 == 0 else "high") for i in range(2000)],
+        "doc_id long, stratum string",
+    )
+    kept = stratified_sample(docs, "stratum", {"low": 0.2, "high": 0.9}, "doc_id")
+    frac = {
+        r["stratum"]: r["n"] / 1000
+        for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["low"] - 0.2) < 0.05 and abs(frac["high"] - 0.9) < 0.05
+    # deterministic: same input -> same kept set, regardless of partitioning
+    again = stratified_sample(
+        docs.orderBy(F.rand(seed=5)).repartition(7), "stratum",
+        {"low": 0.2, "high": 0.9}, "doc_id",
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # monotone: raising a rate strictly grows the kept set (no resample churn)
+    bigger = stratified_sample(docs, "stratum", {"low": 0.5, "high": 0.9}, "doc_id")
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in bigger.collect()}
+    assert a <= b and len(b) > len(a)

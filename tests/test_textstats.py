@@ -143,3 +143,21 @@ def test_repetition_scores(spark):
     assert abs(out[2]["top_2gram_frac"] - (1 / 3)) < 1e-9
     assert out[3]["n_2grams"] == 0 and out[3]["dup_2gram_frac"] == 0.0
     assert out[4]["n_2grams"] == 1 and out[4]["dup_2gram_frac"] == 0.0
+
+
+def test_domain_stats(spark):
+    from entityresolution_capstone_spark.operators.textstats import domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see http://A.example.COM/x and https://b.org/y"),
+            (2, "again http://a.EXAMPLE.com/z here"),
+            (3, "no urls at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["domain"]: r for r in domain_stats(docs).collect()}
+    assert out["a.example.com"]["n_docs"] == 2
+    assert out["a.example.com"]["n_urls"] == 2
+    assert out["b.org"]["n_docs"] == 1
+    assert set(out) == {"a.example.com", "b.org"}
