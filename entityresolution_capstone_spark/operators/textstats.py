@@ -222,6 +222,52 @@ def scrub_pii(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text): overlapping token windows.
+
+    The long-document splitting step of a pre-training / RAG pipeline:
+    chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk is clipped. Documents
+    with <= chunk_tokens tokens yield one chunk (empty docs yield one empty
+    chunk row, so every input row is represented).
+
+    Pure Column algebra: chunk starts come from ``sequence`` + ``posexplode``
+    and each chunk is a ``slice`` of the token array — a per-row expansion
+    with no shuffle at all (narrow projection; output rows ~ corpus tokens /
+    stride). No window function, so no per-doc ordering state.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_t")
+    )
+    n = F.size("_t")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int") + 1
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_c"),
+        "_t",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(F.slice("_t", F.col("chunk_idx") * stride + 1, chunk_tokens))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice("_t", F.col("chunk_idx") * stride + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )
+
+
 PII_DOMAIN_RE = r"https?://([^/ ]+)"
 
 

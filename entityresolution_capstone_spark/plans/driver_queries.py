@@ -1361,6 +1361,30 @@ select lower(regexp_extract(url, 'https?://([^/ ]+)', 1)) as domain,
 from urls group by 1"""
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping-window document chunking (textstats.chunk_documents):
+    32-token chunks, 8-token overlap (stride 24), last chunk clipped, every
+    doc represented. A pure per-row expansion — no shuffle."""
+    return TS.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+with toks as (select doc_id, {TOK} as t from documents),
+ch as (
+    select doc_id, t,
+           case when len(t) <= 32 then 1
+                else cast(ceil((len(t) - 32) / 24.0) as int) + 1 end as nc
+    from toks
+)
+select cast(doc_id as bigint) as doc_id,
+       cast(u.i as bigint) as chunk_idx,
+       cast(len(list_slice(t, u.i*24 + 1, u.i*24 + 32)) as bigint) as n_tokens,
+       array_to_string(list_slice(t, u.i*24 + 1, u.i*24 + 32), ' ') as chunk_text
+from ch, lateral (select unnest(range(nc)) as i) u"""
+
+
 def q_doc_sample(spark, sf_dir):
     """Deterministic stratified downsampling (dedup.stratified_sample): strata
     by token-count band (short <40, medium <70, long), keep rates 25%/50%/100%,
@@ -2150,6 +2174,7 @@ QUERIES = {
     "repetition": q_repetition,
     "domain_stats": q_domain_stats,
     "doc_sample": q_doc_sample,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLES = {
@@ -2200,6 +2225,7 @@ ORACLES = {
     "repetition": SQL_REPETITION,
     "domain_stats": SQL_DOMAIN_STATS,
     "doc_sample": SQL_DOC_SAMPLE,
+    "doc_chunks": SQL_DOC_CHUNKS,
 }
 
 

@@ -161,3 +161,32 @@ def test_domain_stats(spark):
     assert out["a.example.com"]["n_urls"] == 2
     assert out["b.org"]["n_docs"] == 1
     assert set(out) == {"a.example.com", "b.org"}
+
+
+def test_chunk_documents(spark):
+    from entityresolution_capstone_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens, 1 chunk
+            (2, " ".join(f"t{i}" for i in range(25))),  # 25 -> chunks at 0,20
+            (3, ""),  # empty -> one empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=20, overlap=0).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert len(by[1]) == 1 and by[1][0]["n_tokens"] == 10
+    assert len(by[2]) == 2
+    c = sorted(by[2], key=lambda r: r["chunk_idx"])
+    assert c[0]["n_tokens"] == 20 and c[1]["n_tokens"] == 5
+    assert c[1]["chunk_text"].split() == [f"t{i}" for i in range(20, 25)]
+    assert len(by[3]) == 1 and by[3][0]["n_tokens"] == 0
+
+    # overlap: stride = chunk - overlap; consecutive chunks share `overlap`
+    ov = chunk_documents(docs.filter("doc_id = 2"), chunk_tokens=20, overlap=5)
+    c = sorted(ov.collect(), key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c] == [0, 1]
+    assert c[0]["chunk_text"].split()[15:] == c[1]["chunk_text"].split()[:5]
