@@ -206,10 +206,16 @@ class MinHashConfig:
     salt_factor: int = 8
 
 
-def minhash_candidate_pairs(
+def minhash_band_buckets(
     docs: DataFrame, token_dict: DataFrame, cfg: MinHashConfig
 ) -> DataFrame:
-    """Band-bucket collisions -> distinct (id1, id2) with id1 < id2."""
+    """(doc_id, bkey, p): one row per (doc, band) with the band bucket key.
+
+    ``p = struct(band, keys)`` is the first-band-match payload (see
+    :func:`first_band_match`). Plan: explode distinct tokens -> dictionary
+    join -> b*r min-aggregations per doc (one map-side-combinable groupBy)
+    -> posexplode the band keys.
+    """
     n_hashes = cfg.rows * cfg.bands
     params = _hash_params(n_hashes, cfg.seed)
     toks = docs.select(
@@ -228,11 +234,18 @@ def minhash_candidate_pairs(
         )
         for band in range(cfg.bands)
     ]
-    buckets = (
+    return (
         sig.select("doc_id", F.array(*bands).alias("keys"))
         .select("doc_id", "keys", F.posexplode("keys").alias("band", "bkey"))
         .select("doc_id", "bkey", F.struct("band", "keys").alias("p"))
     )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, token_dict: DataFrame, cfg: MinHashConfig
+) -> DataFrame:
+    """Band-bucket collisions -> distinct (id1, id2) with id1 < id2."""
+    buckets = minhash_band_buckets(docs, token_dict, cfg)
     return bucket_pairs(
         buckets,
         salt_bucket_size=cfg.salt_bucket_size,
@@ -316,6 +329,64 @@ def minhash_duplicates(
     cand = minhash_candidate_pairs(docs, tdict, cfg)
     return token_jaccard_verify(
         cand, docs, cfg.jaccard_threshold, strategy=verify_strategy
+    )
+
+
+def cross_minhash_duplicates(
+    new_documents: DataFrame,
+    base_documents: DataFrame,
+    cfg: MinHashConfig | None = None,
+    verify_strategy: str = "array",
+) -> DataFrame:
+    """(new_id, base_id, jaccard): near-dups of NEW docs against an EXISTING
+    corpus — the incremental-ingest dedup of a live training-data pipeline.
+
+    A new crawl must be deduplicated against everything already accepted;
+    re-running all-pairs dedup over old ∪ new is O((N+n)²)-shaped and
+    re-does work that can never change. This operator only enumerates
+    cross-side collisions: band signatures are computed per side and joined
+    new × base on the bucket key — no new×new and no base×base pairs, so the
+    join output is proportional to actual cross-corpus collisions, not to
+    the base corpus size. At a steady state (n ≪ N) the dominant cost is
+    one scan of the base corpus to re-derive its signatures; a production
+    deployment would persist the signature table (sources/tables.py) and
+    skip even that — the enumeration shape here is the part that matters.
+
+    Both corpora hash against ONE token dictionary fitted on their union
+    (document frequencies over old ∪ new), so signatures are comparable.
+    Doc ids must be unique across the two inputs (they share an id space in
+    the verification join).
+
+    Cross-band dedupe is the same first-band-match predicate as self-dedup:
+    a colliding pair survives only in the lowest shared band — no
+    distinct() over the pair set. Bucket-key exchanges are pinned with
+    explicit-N repartition for the same AQE-explosive-join reason as
+    :func:`bucket_pairs`.
+    """
+    cfg = cfg or MinHashConfig()
+    new_docs = prepare_docs(new_documents)
+    base_docs = prepare_docs(base_documents)
+    union = new_docs.unionByName(base_docs)
+    tdict = dedup_token_dict(union)
+    nb = minhash_band_buckets(new_docs, tdict, cfg)
+    bb = minhash_band_buckets(base_docs, tdict, cfg)
+    n_part = int(new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = nb.select(
+        "bkey", F.col("doc_id").alias("id1"), F.col("p").alias("p1")
+    ).repartition(n_part, "bkey")
+    b = bb.select(
+        "bkey", F.col("doc_id").alias("id2"), F.col("p").alias("p2")
+    ).repartition(n_part, "bkey")
+    cand = (
+        a.join(b, "bkey")
+        .filter(first_band_match(F.col("p1"), F.col("p2")))
+        .select("id1", "id2")
+    )
+    verified = token_jaccard_verify(
+        cand, union, cfg.jaccard_threshold, strategy=verify_strategy
+    )
+    return verified.select(
+        F.col("id1").alias("new_id"), F.col("id2").alias("base_id"), "jaccard"
     )
 
 

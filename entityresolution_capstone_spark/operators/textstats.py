@@ -181,6 +181,74 @@ def repetition_scores(
     )
 
 
+def unigram_logprob(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_nll): corpus-fitted unigram-LM surprisal.
+
+    The perplexity-style quality filter of a pre-training pipeline (CCNet /
+    Wenzek et al. 2020 rank corpora by LM perplexity; the unigram model is
+    the engine-friendly first rung): fit ``p(token) = count/total`` on the
+    corpus itself, then score each document by its mean token surprisal
+    ``mean_nll = -(1/n) Σ ln p(token_i)`` over token *occurrences*. Low =
+    ordinary prose; high = rare-token soup (boilerplate, code dumps, noise).
+
+    Determinism across engines: per-token surprisal is frozen to integer
+    micro-nats (``round(-ln(p)·1e6)`` — one libm call per *vocabulary* entry,
+    where a 1-ulp engine difference cannot move the rounded value except
+    within ~1e-10 of a boundary), and the per-document sum runs in exact
+    64-bit integers, so summation order cannot change the result (the same
+    trick events_hourly uses for its average).
+
+    Shape at scale: tf aggregation and the vocabulary count are both
+    map-side combinable; the vocabulary joins back on ``token`` (a plain
+    shuffle join — the vocabulary at web scale is 10^8-10^9 rows, NOT
+    broadcastable; AQE broadcasts it automatically when it is small); the
+    final per-doc sum is one more combinable aggregate. No UDF, no window,
+    no driver-side state — the corpus total rides along as a broadcast
+    1-row cross join.
+    """
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_t")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("_t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_total"))
+    nll = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(-F.log(F.col("cnt") / F.col("_total")) * F.lit(1e6))
+        .cast("long")
+        .alias("_nll_micro"),
+    )
+    per_doc = (
+        tf.join(nll, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("_nll_micro")).alias("_sum_micro"),
+        )
+    )
+    # empty docs keep a row: n_tokens=0, mean_nll=0.0
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.col("_sum_micro") / (F.col("n_tokens") * F.lit(1e6)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_nll"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------

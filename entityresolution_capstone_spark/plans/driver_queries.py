@@ -2415,3 +2415,151 @@ QUERIES["er_eval_ami"] = q_er_eval_ami
 QUERIES["er_eval_vmeasure"] = q_er_eval_vmeasure
 ORACLES["er_eval_ami"] = SQL_ER_EVAL_AMI
 ORACLES["er_eval_vmeasure"] = SQL_ER_EVAL_VMEASURE
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+def q_doc_logprob(spark, sf_dir):
+    out = TS.unigram_logprob(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_nll", 6).alias("mean_nll")
+    )
+
+
+SQL_DOC_LOGPROB = f"""
+with doc_toks_all as (
+    select doc_id, unnest({TOK}) as token from documents
+),
+tf as (
+    select doc_id, token, count(*) as tf from doc_toks_all group by doc_id, token
+),
+vocab as (select token, sum(tf) as cnt from tf group by token),
+tot as (select sum(cnt) as total from vocab),
+nll as (
+    select token,
+           cast(round(-ln(cnt::double / total) * 1000000) as bigint) as nll_micro
+    from vocab cross join tot
+),
+per_doc as (
+    select tf.doc_id,
+           cast(sum(tf) as bigint) as n_tokens,
+           cast(sum(tf * nll_micro) as bigint) as sum_micro
+    from tf join nll using (token) group by tf.doc_id
+)
+select d.doc_id,
+       coalesce(p.n_tokens, 0)::bigint as n_tokens,
+       round(coalesce(p.sum_micro / (p.n_tokens * 1000000.0), 0.0), 6) as mean_nll
+from documents d left join per_doc p using (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-corpus dedup (new crawl vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def q_dedup_cross(spark, sf_dir):
+    """New docs (odd doc_id) near-dup'd against the base corpus (even)."""
+    docs = load(spark, sf_dir, "documents")
+    dups = D.cross_minhash_duplicates(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        _MH,
+        verify_strategy="array",
+    )
+    return dups.select(
+        "new_id", "base_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_DEDUP_CROSS = (
+    "with "
+    + _DEDUP_DICT_CTE
+    + f""",
+mins as (
+    select doc_id, i, min((a * token_id + b) % {MERSENNE_P}) as v
+    from tok_ids cross join {_hash_values_sql(_MH.rows * _MH.bands, _MH.seed)}
+    group by doc_id, i
+),
+buckets as (
+    select doc_id,
+           cast(i // {_MH.rows} as varchar) || '_' ||
+           string_agg(cast(v as varchar), '_' order by i) as bkey
+    from mins group by doc_id, i // {_MH.rows}
+),
+cand as (
+    select distinct a.doc_id as new_id, b.doc_id as base_id
+    from buckets a join buckets b using (bkey)
+    where a.doc_id % 2 = 1 and b.doc_id % 2 = 0
+),
+sizes as (select doc_id, count(*) as n from doc_toks group by doc_id),
+inter as (
+    select c.new_id, c.base_id, count(*) as n_inter
+    from cand c
+    join doc_toks t1 on t1.doc_id = c.new_id
+    join doc_toks t2 on t2.doc_id = c.base_id and t2.token = t1.token
+    group by c.new_id, c.base_id
+)
+select c.new_id, c.base_id,
+       round(coalesce(i.n_inter, 0)::double /
+             (s1.n + s2.n - coalesce(i.n_inter, 0)), 6) as jaccard
+from cand c
+left join inter i on i.new_id = c.new_id and i.base_id = c.base_id
+join sizes s1 on s1.doc_id = c.new_id
+join sizes s2 on s2.doc_id = c.base_id
+where coalesce(i.n_inter, 0)::double / (s1.n + s2.n - coalesce(i.n_inter, 0))
+      >= {_MH.jaccard_threshold}"""
+)
+
+
+# ---------------------------------------------------------------------------
+# person-name cleaning (P2) over customer-derived name keys
+# ---------------------------------------------------------------------------
+
+def q_er_clean_names(spark, sf_dir):
+    """`clean_person_name` (reference graph.py:92-110 semantics) under the
+    exact oracle gate: deterministic 'last_f_m'-style keys derived from the
+    customer table (every 7th key is single-part, exercising first='')."""
+    from ..functions.text import clean_person_name
+
+    cust = load(spark, sf_dir, "customer")
+    # c_name is 'Customer#000000123': digit triplets make the 'last_f_m' key
+    raw = F.when(F.col("c_custkey") % 7 == 0, F.lit("solo")).otherwise(
+        F.concat_ws(
+            "_",
+            F.lit("cust"),
+            F.substring("c_name", 10, 3),
+            F.substring("c_name", 13, 3),
+            F.substring("c_name", 16, 3),
+        )
+    )
+    cleaned = clean_person_name(raw)
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        cleaned["last"].alias("last_name"),
+        cleaned["first"].alias("first_name"),
+    )
+
+
+SQL_ER_CLEAN_NAMES = """
+with named as (
+    select c_custkey,
+           case when c_custkey % 7 = 0 then 'solo'
+                else 'cust_' || substr(c_name, 10, 3) || '_' ||
+                     substr(c_name, 13, 3) || '_' || substr(c_name, 16, 3)
+           end as raw
+    from customer
+),
+parts as (select c_custkey, string_split(raw, '_') as p from named)
+select c_custkey::bigint as c_custkey,
+       p[1] as last_name,
+       trim(coalesce(array_to_string(p[2:len(p)], ' '), '')) as first_name
+from parts"""
+
+
+QUERIES["doc_logprob"] = q_doc_logprob
+QUERIES["dedup_cross"] = q_dedup_cross
+QUERIES["er_clean_names"] = q_er_clean_names
+ORACLES["doc_logprob"] = SQL_DOC_LOGPROB
+ORACLES["dedup_cross"] = SQL_DEDUP_CROSS
+ORACLES["er_clean_names"] = SQL_ER_CLEAN_NAMES

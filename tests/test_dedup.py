@@ -154,3 +154,47 @@ def test_first_band_match_emits_each_pair_once(spark):
         buckets, payload_col="p", pair_filter=D.first_band_match
     ).collect()
     assert [(r["id1"], r["id2"]) for r in out] == [(1, 2)]
+
+
+def test_cross_minhash_equals_cross_parity_slice_of_full(spark, documents):
+    """Cross-corpus dedup (odd=new vs even=base) must find exactly the
+    odd-even pairs of the full self-dedup run (same cfg, same dictionary:
+    df over the union == df over the whole table)."""
+    cfg = D.MinHashConfig()
+    full = D.minhash_duplicates(documents, cfg)
+    want = {
+        (o, e)
+        for r in full.collect()
+        for o, e in [
+            (r["id1"], r["id2"]) if r["id1"] % 2 == 1 else (r["id2"], r["id1"])
+        ]
+        if o % 2 == 1 and e % 2 == 0
+    }
+    cross = D.cross_minhash_duplicates(
+        documents.filter(F.col("doc_id") % 2 == 1),
+        documents.filter(F.col("doc_id") % 2 == 0),
+        cfg,
+    )
+    got = {(r["new_id"], r["base_id"]) for r in cross.collect()}
+    assert got == want
+
+
+def test_cross_minhash_reports_no_within_side_pairs(spark):
+    """A near-dup pair inside the NEW side alone must not be reported."""
+    base = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely unrelated text about database systems and joins"),
+            (5, "completely unrelated text about database systems and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["base_id"])
+        for r in D.cross_minhash_duplicates(new, base).collect()
+    }
+    assert got == {(1, 2)}  # 3-5 is new x new: excluded by construction

@@ -190,3 +190,24 @@ def test_chunk_documents(spark):
     c = sorted(ov.collect(), key=lambda r: r["chunk_idx"])
     assert [r["chunk_idx"] for r in c] == [0, 1]
     assert c[0]["chunk_text"].split()[15:] == c[1]["chunk_text"].split()[:5]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "!!!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TS.unigram_logprob(df).collect()}
+    # counts: a=2, b=2, c=1, total=5; micro-nat terms frozen per vocab entry
+    m_a = round(-math.log(2 / 5) * 1e6)  # == m_b
+    m_c = round(-math.log(1 / 5) * 1e6)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_nll"] == pytest.approx((2 * m_a + m_a) / 3e6)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["mean_nll"] == pytest.approx((m_a + m_c) / 2e6)
+    # empty doc keeps a zeroed row
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_nll"] == 0.0
+    # rare-token docs score strictly higher than common-token docs
+    assert out[2]["mean_nll"] > out[1]["mean_nll"]
