@@ -249,6 +249,110 @@ def unigram_logprob(
     )
 
 
+def corpus_quantiles(
+    df: DataFrame, value_col: str, qs: list[float], id_col: str = "doc_id"
+) -> DataFrame:
+    """(q, value): EXACT corpus quantiles with no single-task global sort.
+
+    The threshold-fitting step of a quality-filter pipeline ("drop docs
+    below P10 / above P99 token count") needs real quantiles of a corpus
+    column. approxQuantile is driver-side and approximate; ``percentile``
+    is a single-node sort at the limit. Here the quantile is defined by a
+    deterministic total order (value, id) and computed from range-
+    partitioned parallel ranks (:func:`..functions.ids.dense_rank_ids` —
+    the same machinery as the token dictionary), so a 10^12-row corpus
+    ranks in parallel with no straggler task.
+
+    Rank rule (both engines bit-identically): quantile q = the value at
+    1-based rank ``max(1, ceil(q·n))``. The target rank is computed in pure
+    64-bit integer arithmetic — ``(q_micro·n + 999999) div 1e6`` with
+    ``q_micro = round(q·1e6)`` — because float ``ceil(q·n)`` straddles
+    engines when q has no exact binary representation (0.1·500 is 50 in
+    decimal arithmetic but 50.0000000000000028 in doubles).
+
+    Plan: one ranking pass + a broadcast join of the |qs|-row target table
+    against the ranked corpus (a semi-join on ~|qs| ranks); the count rides
+    along as a broadcast 1-row cross join.
+    """
+    sdf = df.select(F.col(id_col).alias("_id"), F.col(value_col).alias("_v"))
+    ranked = dense_rank_ids(sdf, ["_v", "_id"], "_r")
+    n = sdf.agg(F.count("*").alias("_n"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(float(q), int(round(q * 1e6))) for q in qs], "q double, q_micro long"
+    )
+    targets = qdf.crossJoin(F.broadcast(n)).select(
+        "q",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(q_micro * _n + 999999) div 1000000"),
+        ).alias("_r"),
+    )
+    return ranked.join(F.broadcast(targets), "_r").select(
+        "q", F.col("_v").alias("value")
+    )
+
+
+def oov_rates(
+    documents: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, oov_tokens, oov_rate): occurrence fraction outside
+    the top-``vocab_size`` corpus vocabulary.
+
+    The vocabulary-coverage filter of a pre-training pipeline: docs whose
+    tokens mostly fall outside the frequent vocabulary are code dumps,
+    foreign-language strays, or OCR noise. The vocabulary is the top-K
+    tokens by (count desc, token asc) — ranked with range-partitioned
+    deterministic ids (no global-sort straggler), identical to
+    ``row_number() over (order by cnt desc, token)`` in the oracle.
+
+    Per-doc aggregation is one map-side-combinable groupBy over (doc,
+    token) tf rows joined to the ranked vocabulary on ``token`` (shuffle
+    join; AQE broadcasts it when the vocabulary is small). Empty docs keep
+    a zeroed row.
+    """
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_t")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("_t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    ranked = dense_rank_ids(
+        vocab.withColumn("_neg", -F.col("cnt")), ["_neg", "token"], "_rank"
+    ).select("token", "_rank")
+    per_doc = (
+        tf.join(ranked, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_rank") > vocab_size, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("oov_tokens", F.lit(0)).cast("long").alias("oov_tokens"),
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.col("oov_tokens") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------

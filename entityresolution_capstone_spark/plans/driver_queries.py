@@ -2563,3 +2563,80 @@ QUERIES["er_clean_names"] = q_er_clean_names
 ORACLES["doc_logprob"] = SQL_DOC_LOGPROB
 ORACLES["dedup_cross"] = SQL_DEDUP_CROSS
 ORACLES["er_clean_names"] = SQL_ER_CLEAN_NAMES
+
+
+# ---------------------------------------------------------------------------
+# exact corpus quantiles (no global sort) + vocabulary-coverage (OOV) filter
+# ---------------------------------------------------------------------------
+
+_QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_doc_quantiles(spark, sf_dir):
+    """Exact token-count quantiles of the corpus via range-partitioned ranks."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_toks")
+    )
+    out = TS.corpus_quantiles(counts, "n_toks", _QUANTILE_QS, id_col="doc_id")
+    return out.select("q", F.col("value").cast("long").alias("value"))
+
+
+_QS_VALUES = ", ".join(
+    f"({q}, {int(round(q * 1e6))})" for q in _QUANTILE_QS
+)
+
+SQL_DOC_QUANTILES = f"""
+with counts as (
+    select doc_id, cast(len({TOK}) as bigint) as n_toks from documents
+),
+ranked as (
+    select n_toks, row_number() over (order by n_toks, doc_id) as r from counts
+),
+total as (select count(*) as n from counts),
+targets as (
+    select cast(q as double) as q,
+           greatest(1, (q_micro * total.n + 999999) // 1000000) as r
+    from (values {_QS_VALUES}) as qs(q, q_micro) cross join total
+)
+select t.q, cast(rk.n_toks as bigint) as value
+from targets t join ranked rk using (r)"""
+
+
+_OOV_VOCAB = 100
+
+
+def q_doc_oov(spark, sf_dir):
+    out = TS.oov_rates(load(spark, sf_dir, "documents"), vocab_size=_OOV_VOCAB)
+    return out.select(
+        "doc_id", "n_tokens", "oov_tokens", F.round("oov_rate", 6).alias("oov_rate")
+    )
+
+
+SQL_DOC_OOV = f"""
+with toks_all as (
+    select doc_id, unnest({TOK}) as token from documents
+),
+tf as (select doc_id, token, count(*) as tf from toks_all group by doc_id, token),
+vocab as (select token, sum(tf) as cnt from tf group by token),
+ranked as (
+    select token, row_number() over (order by cnt desc, token) as rnk from vocab
+),
+per_doc as (
+    select tf.doc_id,
+           cast(sum(tf) as bigint) as n_tokens,
+           cast(sum(case when rnk > {_OOV_VOCAB} then tf else 0 end) as bigint)
+               as oov_tokens
+    from tf join ranked using (token) group by tf.doc_id
+)
+select d.doc_id,
+       coalesce(p.n_tokens, 0)::bigint as n_tokens,
+       coalesce(p.oov_tokens, 0)::bigint as oov_tokens,
+       round(coalesce(p.oov_tokens / p.n_tokens, 0.0), 6) as oov_rate
+from documents d left join per_doc p using (doc_id)"""
+
+
+QUERIES["doc_quantiles"] = q_doc_quantiles
+QUERIES["doc_oov"] = q_doc_oov
+ORACLES["doc_quantiles"] = SQL_DOC_QUANTILES
+ORACLES["doc_oov"] = SQL_DOC_OOV

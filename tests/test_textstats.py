@@ -211,3 +211,48 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[3]["n_tokens"] == 0 and out[3]["mean_nll"] == 0.0
     # rare-token docs score strictly higher than common-token docs
     assert out[2]["mean_nll"] > out[1]["mean_nll"]
+
+
+def test_corpus_quantiles_exact_ranks(spark):
+    # values 1..10: rank rule = value at max(1, ceil(q*n))
+    df = spark.createDataFrame([(i, i) for i in range(1, 11)], "doc_id long, v long")
+    got = {
+        r["q"]: r["value"]
+        for r in TS.corpus_quantiles(df, "v", [0.1, 0.25, 0.5, 0.75, 1.0]).collect()
+    }
+    assert got == {0.1: 1, 0.25: 3, 0.5: 5, 0.75: 8, 1.0: 10}
+
+
+def test_corpus_quantiles_integer_rank_arithmetic(spark):
+    # 0.1 * 500 = 50.0000000000000028 in doubles -> float ceil gives 51;
+    # the integer micro-rank rule must yield exactly 50
+    df = spark.createDataFrame([(i, i) for i in range(1, 501)], "doc_id long, v long")
+    got = {r["q"]: r["value"] for r in TS.corpus_quantiles(df, "v", [0.1]).collect()}
+    assert got == {0.1: 50}
+
+
+def test_corpus_quantiles_deterministic_under_ties(spark):
+    # all-equal values: every quantile is that value, ties broken by id
+    df = spark.createDataFrame([(i, 7) for i in range(20)], "doc_id long, v long")
+    out = TS.corpus_quantiles(df, "v", [0.5, 0.9]).collect()
+    assert sorted((r["q"], r["value"]) for r in out) == [(0.5, 7), (0.9, 7)]
+
+
+def test_oov_rates_top_k_vocab(spark):
+    # corpus counts: a=4, b=2, c=1, d=1 -> top-2 vocab = {a, b}
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d"), (3, "!!!")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TS.oov_rates(df, vocab_size=2).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["oov_tokens"] == 1
+    assert out[1]["oov_rate"] == pytest.approx(0.25)
+    assert out[2]["oov_tokens"] == 1
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] == 0.0
+
+
+def test_oov_rates_tie_break_on_token(spark):
+    # b and c tie at count 2; rank orders (cnt desc, token asc) -> b in, c out
+    df = spark.createDataFrame([(1, "b b c c")], "doc_id long, text string")
+    r = TS.oov_rates(df, vocab_size=1).collect()[0]
+    assert r["oov_tokens"] == 2 and r["oov_rate"] == pytest.approx(0.5)
