@@ -22,6 +22,30 @@ def default_parallelism() -> int:
         return 32
 
 
+def _ram_local_dir(min_free_bytes: int = 16 * (1 << 30)) -> str | None:
+    """RAM-backed shuffle scratch for local mode, if it has headroom.
+
+    Local-mode shuffle/spill defaults to /tmp, which on this box is a
+    virtio ext4 disk: under a 32-thread shuffle the kernel IO path dominates
+    (measured ~45% system time, ~1% user) and the scoring stage collapses —
+    288.6s vs 51.4s for the identical q_score job at local[32] with the only
+    change being spark.local.dir on tmpfs (bit-identical result checksum).
+    On a real cluster the resource manager points spark.local.dir at fast
+    local NVMe; a RAM-backed tmpfs is the local-mode equivalent. Only used
+    when /dev/shm exists with comfortable free space; callers can always
+    override via extra_conf["spark.local.dir"].
+    """
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize < min_free_bytes:
+            return None
+        d = "/dev/shm/ercs-local"
+        os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
+
+
 def get_spark(
     app_name: str = "entityresolution-capstone-spark",
     master: str | None = None,
@@ -56,6 +80,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master.startswith("local") and "spark.local.dir" not in (extra_conf or {}):
+        ram_dir = _ram_local_dir()
+        if ram_dir:
+            builder = builder.config("spark.local.dir", ram_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 
