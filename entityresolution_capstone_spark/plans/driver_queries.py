@@ -2640,3 +2640,57 @@ QUERIES["doc_quantiles"] = q_doc_quantiles
 QUERIES["doc_oov"] = q_doc_oov
 ORACLES["doc_quantiles"] = SQL_DOC_QUANTILES
 ORACLES["doc_oov"] = SQL_DOC_OOV
+
+
+# ---------------------------------------------------------------------------
+# C5 — iterative alpha>0 re-scoring loop (rows-only: no oracle)
+# ---------------------------------------------------------------------------
+
+def q_er_iterative(spark, sf_dir):
+    """C5 end-to-end on the driver surface: blocking -> fixed attr scores ->
+    per-round (1-α)·attr + α·rel with re-scored relational features and CC
+    merging per round (reference resolver.py:655-801 semantics).
+
+    Intentionally NO SQL oracle: the round-synchronous merge loop re-derives
+    cluster neighborhoods from the evolving assignment each round — an
+    iterate-to-fixpoint computation outside ANSI SQL. Semantics are pinned
+    against the extended reference emulator in tests/test_iterative.py; the
+    driver records the rows+schema check.
+    """
+    from ..operators.iterative import resolve_iterative
+
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    dft = dft.persist()
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    n = docs.count()
+    scored = score_pairs_slim(
+        pairs,
+        docs,
+        ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
+        df_table=dft,
+        corpus_size=n,
+    ).persist()  # node scores feed every merge round
+    edges = docs.select(
+        "conv_id",
+        (F.xxhash64("conv_id") % F.lit(EDGE_MOD)).cast("long").alias("edge_id"),
+    ).select("conv_id", F.abs("edge_id").alias("edge_id"))
+    out = resolve_iterative(
+        scored.select("id1", "id2", "attr_sim"),
+        docs.select("conv_id"),
+        edges,
+        alpha=0.25,
+        threshold=ER_THRESHOLD,
+        rel_strategy="jaccard_coef",
+        linkage="max",
+        max_rounds=4,
+    )
+    out = out.localCheckpoint(eager=True)
+    scored.unpersist()
+    docs.unpersist()
+    dft.unpersist()
+    blocks.unpersist()
+    return out
+
+
+QUERIES["er_iterative"] = q_er_iterative
+# no ORACLES entry: documented non-SQL-expressible (see docstring)

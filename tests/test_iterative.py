@@ -127,3 +127,16 @@ def test_alpha_zero_rejected(spark):
     edges = spark.createDataFrame([("a", 0), ("b", 0)], "conv_id string, edge_id long")
     with pytest.raises(ValueError, match="alpha"):
         resolve_iterative(scores, ids, edges, alpha=0.0, threshold=0.5)
+
+
+def test_driver_query_er_iterative_smoke(spark):
+    """The C5 driver query returns one assignment row per conversation."""
+    from entityresolution_capstone_spark.plans import driver_queries as DQ
+
+    out = DQ.q_er_iterative(spark, "/root/testdata/sf0.001")
+    assert out.columns == ["conv_id", "cluster_id"]
+    rows = out.collect()
+    assert len(rows) == 500
+    # cluster ids are member conv_ids (least-id representative convention)
+    ids = {r["conv_id"] for r in rows}
+    assert all(r["cluster_id"] in ids for r in rows)
