@@ -339,3 +339,70 @@ def salted_pairs(blocks: DataFrame, g: int, payload_col: str | None = None) -> D
             F.when(fwd, F.col("_pb")).otherwise(F.col("_pa")).alias("p2"),
         ]
     return within.unionByName(across).select(*out_cols)
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    key,
+    window: int,
+    id_col: str = "conv_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking: pairs within ``window`` positions of the
+    sort order over ``key`` (Hernandez & Stolfo's SNM; the classic
+    alternative the reference's canopy/key blocking family lacks — reference
+    blocking surface: /root/reference/src/entity_resolver/core/resolver.py:347-376).
+
+    Complements equality-key blocking where key values are noisy but *sort
+    close* (typo'd names, zero-padded codes): two records pair iff their ranks
+    in the total order (key, id) differ by 1..window-1.
+
+    100-TB shape — fixed-cost by construction, no skew possible:
+
+    1. global ranks with NO single-task sort (:func:`..functions.ids.dense_rank_ids`:
+       range partition -> per-partition row_number -> broadcast offsets);
+    2. neighborhood bucket ``b = rank div window``: a qualifying pair's ranks
+       span at most one bucket boundary, so the LEFT side replicates each row
+       to buckets (b, b+1) and the RIGHT side keeps its home bucket — an
+       equi-join on the bucket id emits every window pair exactly once (the
+       left copy in the right row's home bucket), no distinct();
+    3. every bucket holds exactly ``window`` rows (last one fewer), so join
+       tasks are even regardless of the key distribution — a million identical
+       keys still yield fixed-size buckets, where equality blocking would
+       build one quadratic hot block.
+
+    Output pair count is exactly ``(n - window/2)*(window-1)`` -ish — linear
+    in n, the defining property of SNM. Multi-pass SNM = union of calls with
+    different keys + ``dropDuplicates(["id1","id2"])`` (bounded at
+    n*window*passes rows, NOT a pair-set quadratic).
+
+    ``key``: Column (or column name) to sort on; ties broken by ``id_col``,
+    which must be unique (total order requirement of dense_rank_ids).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 (window=1 pairs nothing)")
+    key_col = F.col(key) if isinstance(key, str) else key
+    keyed = records.select(F.col(id_col).alias("_id"), key_col.alias("_key"))
+    ranked = dense_rank_ids(keyed, ["_key", "_id"], "_rank", num_partitions).select(
+        "_id", (F.col("_rank") - 1).alias("_r")
+    )
+    home = F.floor(F.col("_r") / F.lit(window)).cast("long")
+    left = ranked.select(
+        F.col("_id").alias("_ida"),
+        F.col("_r").alias("_ra"),
+        F.explode(F.array(home, home + 1)).alias("_b"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("_idb"), F.col("_r").alias("_rb"), home.alias("_b")
+    )
+    return (
+        left.join(right, "_b")
+        .filter(
+            (F.col("_rb") - F.col("_ra") >= 1)
+            & (F.col("_rb") - F.col("_ra") <= window - 1)
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id1"),
+            F.greatest("_ida", "_idb").alias("id2"),
+        )
+    )

@@ -2694,3 +2694,103 @@ def q_er_iterative(spark, sf_dir):
 
 QUERIES["er_iterative"] = q_er_iterative
 # no ORACLES entry: documented non-SQL-expressible (see docstring)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (SNM)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 10
+SNM_KEY_LEN = 16
+
+
+def q_er_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs (operators/blocking.py:
+    sorted_neighborhood_pairs): sort canonical docs by a 16-char doc prefix,
+    pair everything within a 10-rank window. Ranks come from the
+    range-partitioned dense_rank_ids machinery (no single-task sort); the
+    bucketed self-join emits each window pair exactly once."""
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t, prefix_len=PREFIX)
+    return B.sorted_neighborhood_pairs(
+        docs.select("conv_id", F.substring("doc", 1, SNM_KEY_LEN).alias("snm_key")),
+        "snm_key",
+        SNM_WINDOW,
+    ).orderBy("id1", "id2")
+
+
+SQL_ER_SNM_PAIRS = (
+    "with "
+    + CANON_CTE
+    + f""",
+ranked as (
+    select conv_id,
+           row_number() over (order by substr(doc, 1, {SNM_KEY_LEN}), conv_id) as rk
+    from canon
+)
+select least(a.conv_id, b.conv_id) as id1,
+       greatest(a.conv_id, b.conv_id) as id2
+from ranked a join ranked b
+  on b.rk - a.rk between 1 and {SNM_WINDOW - 1}
+order by id1, id2"""
+)
+
+QUERIES["er_snm_pairs"] = q_er_snm_pairs
+ORACLES["er_snm_pairs"] = SQL_ER_SNM_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Survivorship: canonical record per resolved cluster
+# ---------------------------------------------------------------------------
+
+def q_er_cluster_records(spark, sf_dir):
+    """Survivorship over the full-pipeline clusters (operators/survivorship.py):
+    one aggregation pass picks the longest-doc member (ties -> least id) and
+    membership stats per entity."""
+    from ..operators.survivorship import cluster_records
+
+    assignment = q_er_clusters(spark, sf_dir)
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t, prefix_len=PREFIX)
+    return cluster_records(docs, assignment).orderBy("cluster_id")
+
+
+SQL_ER_CLUSTER_RECORDS = (
+    "with recursive "
+    + _er_scored_edges_cte()
+    + """,
+sym as (
+    select id1 as a, id2 as b from edges
+    union select id2, id1 from edges
+),
+reach(a, b) as (
+    select a, b from sym
+    union
+    select r.a, s.b from reach r join sym s on r.b = s.a
+),
+comp as (
+    select a as conv_id, least(a, min(b)) as cluster_id from reach group by a
+),
+assign as (
+    select c.conv_id, coalesce(comp.cluster_id, c.conv_id) as cluster_id,
+           length(c.doc) as len
+    from canon c left join comp on c.conv_id = comp.conv_id
+),
+ranked as (
+    select cluster_id, conv_id, len,
+           row_number() over (partition by cluster_id
+                              order by len desc, conv_id) as rn
+    from assign
+),
+stats as (
+    select cluster_id, cast(count(*) as bigint) as n_members,
+           cast(sum(len) as bigint) as total_chars
+    from assign group by cluster_id
+)
+select s.cluster_id, r.conv_id as rep_id, s.n_members, s.total_chars
+from stats s join ranked r on r.cluster_id = s.cluster_id and r.rn = 1
+order by s.cluster_id"""
+)
+
+QUERIES["er_cluster_records"] = q_er_cluster_records
+ORACLES["er_cluster_records"] = SQL_ER_CLUSTER_RECORDS

@@ -76,3 +76,69 @@ def test_minhash_identical_docs_collide(spark, docs_and_dict):
     # identical token sets -> identical band keys -> all keys shared
     per_key = sigs.groupBy("block_key").count()
     assert per_key.filter(F.col("count") != 2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+def _snm_brute(rows, window):
+    """Scalar SNM oracle: sort by (key, id), pair ranks within window."""
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + window, len(order))):
+            a, b = order[i][0], order[j][0]
+            out.add((min(a, b), max(a, b)))
+    return out
+
+
+def test_snm_matches_brute_force(spark):
+    import random
+
+    from entityresolution_capstone_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(41)
+    rows = [
+        (f"r{i:03d}", "".join(rng.choice("abc") for _ in range(3)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, key string")
+    for window in (2, 5, 9):
+        got = {
+            (r.id1, r.id2)
+            for r in sorted_neighborhood_pairs(df, "key", window).collect()
+        }
+        assert got == _snm_brute(rows, window), f"window={window}"
+
+
+def test_snm_identical_keys_stay_linear(spark):
+    """A degenerate key (every record identical) must still produce exactly
+    the window pairs — the property equality blocking lacks (one quadratic
+    hot block); ties broken by id keep the output deterministic."""
+    from entityresolution_capstone_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w = 200, 6
+    rows = [(f"r{i:03d}", "same") for i in range(n)]
+    df = spark.createDataFrame(rows, "conv_id string, key string")
+    pairs = sorted_neighborhood_pairs(df, "key", w).collect()
+    # linear pair count: sum over ranks of min(w-1, n-1-rank)
+    expected = sum(min(w - 1, n - 1 - i) for i in range(n))
+    assert len(pairs) == expected == len({(p.id1, p.id2) for p in pairs})
+    assert all(p.id1 < p.id2 for p in pairs)
+
+
+def test_snm_window_validation(spark):
+    import pytest as _pytest
+
+    from entityresolution_capstone_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([("a", "x")], "conv_id string, key string")
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "key", 1)
