@@ -319,3 +319,68 @@ def plot_prc(sweep_df: DataFrame, out_path: str) -> str | None:
     ax.set_title("precision-recall sweep")
     fig.savefig(out_path)
     return out_path
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    labels: DataFrame,
+    id_col: str = "conv_id",
+    label_col: str = "entity_id",
+) -> DataFrame:
+    """Blocking-scheme quality: reduction ratio / pair completeness / pair
+    quality vs ground-truth entities (the standard blocking triad, e.g.
+    Christen's ER survey; complements the per-block size accounting in
+    operators/blocking.block_size_metrics).
+
+    ``candidates``: (id1, id2) unordered candidate pairs (id1 < id2);
+    ``labels``: one row per record with ``id_col`` + ``label_col``.
+
+    All three metrics reduce to four scalar aggregates — record count,
+    candidate count, true-pair count (sum of C(m,2) over entity sizes), and
+    covered true pairs (candidates whose two sides share an entity, counted
+    via two broadcast-sized joins on the label table) — no pair
+    materialization beyond the candidate set itself. Returns one row, doubles
+    rounded to 6dp:
+
+    - reduction_ratio  = 1 - |cand| / C(n,2)
+    - pair_completeness = |cand ∩ true| / |true|   (blocking recall)
+    - pair_quality      = |cand ∩ true| / |cand|   (blocking precision)
+    """
+    lab1 = labels.select(
+        F.col(id_col).alias("id1"), F.col(label_col).alias("_e1")
+    )
+    lab2 = labels.select(
+        F.col(id_col).alias("id2"), F.col(label_col).alias("_e2")
+    )
+    n = labels.count()
+    n_cand = candidates.count()
+    covered = (
+        candidates.join(lab1, "id1")
+        .join(lab2, "id2")
+        .filter(F.col("_e1") == F.col("_e2"))
+        .count()
+    )
+    true_pairs = (
+        labels.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .select(F.sum(F.col("_m") * (F.col("_m") - 1) / 2).alias("v"))
+        .collect()[0]["v"]
+        or 0.0
+    )
+    total_pairs = n * (n - 1) / 2.0
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(n_cand),
+                int(true_pairs),
+                int(covered),
+                round(1.0 - n_cand / total_pairs if total_pairs else 0.0, 6),
+                round(covered / true_pairs if true_pairs else 0.0, 6),
+                round(covered / n_cand if n_cand else 0.0, 6),
+            )
+        ],
+        "n_records long, n_candidates long, n_true_pairs long, n_covered long, "
+        "reduction_ratio double, pair_completeness double, pair_quality double",
+    )

@@ -2794,3 +2794,59 @@ order by s.cluster_id"""
 
 QUERIES["er_cluster_records"] = q_er_cluster_records
 ORACLES["er_cluster_records"] = SQL_ER_CLUSTER_RECORDS
+
+
+# ---------------------------------------------------------------------------
+# Blocking quality triad (reduction ratio / completeness / quality)
+# ---------------------------------------------------------------------------
+
+def q_er_blocking_quality(spark, sf_dir):
+    """Grades the minhash blocking scheme itself (evaluate.blocking_quality):
+    reduction ratio, pair completeness (blocking recall) and pair quality
+    vs the synthetic doc_id%97 entities."""
+    from ..evaluate import blocking_quality
+
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    labels = load(spark, sf_dir, "documents").select(
+        F.format_string("c%06d", "doc_id").alias("conv_id"),
+        (F.col("doc_id") % 97).alias("entity_id"),
+    )
+    out = blocking_quality(pairs, labels)
+    docs.unpersist()
+    blocks.unpersist()
+    return out
+
+
+SQL_ER_BLOCKING_QUALITY = (
+    "with "
+    + _er_pairs_cte(ER_BLOCKING)
+    + """,
+labels as (
+    select printf('c%06d', doc_id) as conv_id, doc_id % 97 as entity_id from documents
+),
+nrec as (select cast(count(*) as bigint) as n from labels),
+ncand as (select cast(count(*) as bigint) as n from cand_pairs),
+ntrue as (
+    select cast(coalesce(sum(m*(m-1)//2), 0) as bigint) as n
+    from (select count(*) as m from labels group by entity_id)
+),
+ncov as (
+    select cast(count(*) as bigint) as n
+    from cand_pairs p
+    join labels l1 on p.id1 = l1.conv_id
+    join labels l2 on p.id2 = l2.conv_id
+    where l1.entity_id = l2.entity_id
+)
+select nrec.n as n_records, ncand.n as n_candidates,
+       ntrue.n as n_true_pairs, ncov.n as n_covered,
+       round(1.0 - ncand.n / (nrec.n * (nrec.n - 1) / 2.0), 6) as reduction_ratio,
+       round(case when ntrue.n > 0 then ncov.n / cast(ntrue.n as double) else 0 end, 6)
+           as pair_completeness,
+       round(case when ncand.n > 0 then ncov.n / cast(ncand.n as double) else 0 end, 6)
+           as pair_quality
+from nrec, ncand, ntrue, ncov"""
+)
+
+QUERIES["er_blocking_quality"] = q_er_blocking_quality
+ORACLES["er_blocking_quality"] = SQL_ER_BLOCKING_QUALITY

@@ -47,3 +47,22 @@ def test_perfect_clustering(fixture_dfs):
     assert s.precision == 1.0 and s.recall == 1.0 and s.f1 == 1.0
     assert E.ami_score(labels, preds) == pytest.approx(1.0)
     assert E.v_measure_score(labels, preds) == pytest.approx(1.0)
+
+
+def test_blocking_quality_golden(spark):
+    from entityresolution_capstone_spark.evaluate import blocking_quality
+
+    labels = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2)],
+        "conv_id string, entity_id int",
+    )
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "d"), ("d", "e")], "id1 string, id2 string"
+    )
+    r = blocking_quality(cand, labels).collect()[0]
+    # n=5 -> C(5,2)=10 total; true pairs C(3,2)+C(2,2)=4; covered (a,b),(d,e)
+    assert r.n_records == 5 and r.n_candidates == 3
+    assert r.n_true_pairs == 4 and r.n_covered == 2
+    assert r.reduction_ratio == 0.7
+    assert r.pair_completeness == 0.5
+    assert r.pair_quality == 0.666667
