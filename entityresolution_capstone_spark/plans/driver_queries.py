@@ -442,8 +442,9 @@ select c.conv_id, g.keep_id, g.group_size from canon c join grp g using (doc)"""
 )
 
 
-def _er_scored_edges_cte() -> str:
-    """CTE 'edges(id1,id2)': lev/tfidf weighted score >= θ, plus exact matches."""
+def _er_scored_cte() -> str:
+    """CTE 'scored(id1, id2, sim)': lev+tfidf weighted pair scores over the
+    capped minhash candidate pairs (the full-run scoring formula)."""
     w_lev, w_tfidf = ER_WEIGHTS["lev"], ER_WEIGHTS["tfidf"]
     return (
         _TFIDF_CTE
@@ -462,7 +463,15 @@ scored as (
     join nrm n2 on n2.conv_id = p.id2
     join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c1 on p.id1 = c1.conv_id
     join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c2 on p.id2 = c2.conv_id
-),
+)"""
+    )
+
+
+def _er_scored_edges_cte() -> str:
+    """CTE 'edges(id1,id2)': lev/tfidf weighted score >= θ, plus exact matches."""
+    return (
+        _er_scored_cte()
+        + f""",
 exact_grp as (
     select doc, min(conv_id) as keep_id, count(*) as n from canon group by doc having count(*) > 1
 ),
@@ -2850,3 +2859,87 @@ from nrec, ncand, ntrue, ncov"""
 
 QUERIES["er_blocking_quality"] = q_er_blocking_quality
 ORACLES["er_blocking_quality"] = SQL_ER_BLOCKING_QUALITY
+
+
+# ---------------------------------------------------------------------------
+# Incremental attach-to-catalog resolution
+# ---------------------------------------------------------------------------
+
+def q_er_attach(spark, sf_dir):
+    """Incremental ER (operators/incremental.py): docs with doc_id%10 == 7
+    are the NEW batch; the rest are the BASE catalog with its exact-match
+    clustering as the prior assignment. Each new doc attaches to its best
+    existing cluster by max-linkage lev+tfidf score >= θ, else becomes a
+    singleton. The operator fits blocking + DF on the union, so the cross
+    pair set equals the full-run candidate pairs restricted to cross-side —
+    which is exactly what the oracle replays."""
+    from ..operators.incremental import attach_to_clusters
+
+    t = derive_transcripts(spark, sf_dir)
+    docs = canonical_docs(t, prefix_len=PREFIX).persist()
+    is_new = F.substring("conv_id", 2, 6).cast("int") % 10 == 7
+    new_docs = docs.filter(is_new)
+    base_docs = docs.filter(~is_new)
+    grp = base_docs.groupBy("doc").agg(F.min("conv_id").alias("cluster_id"))
+    base_clusters = base_docs.join(grp, "doc").select("conv_id", "cluster_id")
+    out = attach_to_clusters(
+        new_docs,
+        base_docs,
+        base_clusters,
+        ER_BLOCKING,
+        ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
+        ER_THRESHOLD,
+        "max",
+    )
+    docs.unpersist()
+    return out
+
+
+SQL_ER_ATTACH = (
+    "with "
+    + _er_scored_cte()
+    + f""",
+sides as (
+    select conv_id, (cast(substr(conv_id, 2) as int) % 10 = 7) as is_new from canon
+),
+cross_sc as (
+    select case when s1.is_new then p.id1 else p.id2 end as new_id,
+           case when s1.is_new then p.id2 else p.id1 end as base_id,
+           p.sim
+    from scored p
+    join sides s1 on p.id1 = s1.conv_id
+    join sides s2 on p.id2 = s2.conv_id
+    where s1.is_new <> s2.is_new
+),
+base_canon as (
+    select c.conv_id, c.doc from canon c join sides s using (conv_id) where not s.is_new
+),
+base_clu as (
+    select c.conv_id, g.cluster_id
+    from base_canon c
+    join (select doc, min(conv_id) as cluster_id from base_canon group by doc) g
+      using (doc)
+),
+clu_sc as (
+    select cs.new_id, bc.cluster_id, max(cs.sim) as s
+    from cross_sc cs join base_clu bc on cs.base_id = bc.conv_id
+    group by cs.new_id, bc.cluster_id
+),
+best as (
+    select new_id, cluster_id, s,
+           row_number() over (partition by new_id order by s desc, cluster_id) as rn
+    from clu_sc
+),
+ncand as (select new_id, count(*) as n_cand from cross_sc group by new_id)
+select n.conv_id,
+       coalesce(b.cluster_id, n.conv_id) as cluster_id,
+       round(coalesce(b.s, 0.0), 6) as best_sim,
+       cast(coalesce(nc.n_cand, 0) as bigint) as n_cand
+from (select conv_id from canon join sides using (conv_id) where is_new) n
+left join (select * from best where rn = 1 and s >= {ER_THRESHOLD}) b
+       on n.conv_id = b.new_id
+left join ncand nc on n.conv_id = nc.new_id"""
+)
+
+QUERIES["er_attach"] = q_er_attach
+ORACLES["er_attach"] = SQL_ER_ATTACH
