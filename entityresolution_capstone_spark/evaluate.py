@@ -384,3 +384,78 @@ def blocking_quality(
         "n_records long, n_candidates long, n_true_pairs long, n_covered long, "
         "reduction_ratio double, pair_completeness double, pair_quality double",
     )
+
+
+def cluster_drift(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Churn between two clusterings of the SAME records (run A vs run B) —
+    the monitoring metric for incremental resolution (operators/incremental):
+    how much did today's catalog reshuffle yesterday's entities?
+
+    Everything reduces to the (a_cluster, b_cluster) contingency table
+    (clusters ≪ records, one groupBy) — no pair materialization:
+
+    - ``n_stable``: A-clusters whose member set is EXACTLY one whole
+      B-cluster (all members in one B-cluster, and that B-cluster has no
+      other members);
+    - ``n_split``: A-clusters whose members land in >1 B-cluster;
+    - ``n_merged``: B-clusters containing members from >1 A-cluster;
+    - ``pair_jaccard``: |pairs(A) ∩ pairs(B)| / |pairs(A) ∪ pairs(B)| via
+      the C(n,2) sums over sizes and contingency cells (1.0 iff identical
+      clusterings, counting only co-clustered pairs).
+
+    Records present in only one input are ignored (inner join on the id).
+    Returns one row: (n_records, n_clusters_a, n_clusters_b, n_stable,
+    n_split, n_merged, pair_jaccard).
+    """
+    aa = a.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_ca"))
+    bb = b.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cb"))
+    j = aa.join(bb, "_id")
+    cont = j.groupBy("_ca", "_cb").agg(F.count("*").alias("_n")).persist()
+    sizes_a = cont.groupBy("_ca").agg(
+        F.sum("_n").alias("_m"), F.count("*").alias("_parts")
+    )
+    sizes_b = cont.groupBy("_cb").agg(
+        F.sum("_n").alias("_m"), F.count("*").alias("_parts")
+    )
+    pairs_a = sizes_a.select(_comb2(F.col("_m")).alias("v")).collect()[0]["v"] or 0.0
+    pairs_b = sizes_b.select(_comb2(F.col("_m")).alias("v")).collect()[0]["v"] or 0.0
+    pairs_both = cont.select(_comb2(F.col("_n")).alias("v")).collect()[0]["v"] or 0.0
+    n_records = int(
+        cont.select(F.sum("_n").alias("v")).collect()[0]["v"] or 0
+    )
+    n_a = sizes_a.count()
+    n_b = sizes_b.count()
+    n_split = sizes_a.filter(F.col("_parts") > 1).count()
+    n_merged = sizes_b.filter(F.col("_parts") > 1).count()
+    # stable: A-cluster in exactly one B-cluster AND that B-cluster's total
+    # size equals the shared cell (no extra members from other A-clusters)
+    whole_a = (
+        sizes_a.filter(F.col("_parts") == 1)
+        .select("_ca", F.col("_m").alias("_ma"))
+        .join(cont, "_ca")
+        .join(sizes_b.select("_cb", F.col("_m").alias("_mb")), "_cb")
+    )
+    n_stable = whole_a.filter(F.col("_ma") == F.col("_mb")).count()
+    cont.unpersist()
+    union_pairs = pairs_a + pairs_b - pairs_both
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_records,
+                int(n_a),
+                int(n_b),
+                int(n_stable),
+                int(n_split),
+                int(n_merged),
+                round(pairs_both / union_pairs if union_pairs else 1.0, 6),
+            )
+        ],
+        "n_records long, n_clusters_a long, n_clusters_b long, n_stable long, "
+        "n_split long, n_merged long, pair_jaccard double",
+    )

@@ -13,11 +13,13 @@ Design rules that make the oracle comparison exact:
 - every hash is dictionary-based arithmetic ``(a·token_id + b) mod P`` with the
   token dictionary = ``row_number() over (order by df, token)`` — reproducible
   in any SQL dialect (no engine hash builtins);
-- doubles are rounded (6 dp) in BOTH engines; Jaro-Winkler gets no SQL oracle
-  because DuckDB's jaro matching variant intentionally diverges from the
-  reference's py_stringmatching semantics (see tests/test_kernels.py). Every
-  other metric — including AMI's hypergeometric expected-mutual-information
-  term — has an exact DuckDB oracle (lgamma + lateral range for the EMI sum).
+- doubles are rounded (6 dp) in BOTH engines; Jaro-Winkler's oracle does NOT
+  use DuckDB's builtin (its matching variant diverges from the reference's
+  py_stringmatching semantics) — instead the greedy matcher itself is
+  re-implemented as a recursive CTE (SQL_ER_PAIRS_JW), bit-exact vs the
+  kernel. Every metric — including AMI's hypergeometric expected-mutual-
+  information term — has an exact DuckDB oracle except er_iterative
+  (iterate-to-fixpoint is not ANSI-SQL-expressible; rows-only by design).
 """
 
 from __future__ import annotations
@@ -401,10 +403,13 @@ join nrm n2 on n2.conv_id = p.id2"""
 
 
 def q_er_pairs_jw(spark, sf_dir):
-    """Jaro-Winkler scored pairs (pandas-UDF kernel). NO SQL oracle: the
-    reference's greedy JW matching diverges from DuckDB's variant on some
-    unequal-length inputs (tests/test_kernels.py pins ours to the reference).
-    Driver records the weaker rows-only check for this one."""
+    """Jaro-Winkler scored pairs (pandas-UDF kernel, reference semantics:
+    py_stringmatching-style greedy left-to-right matching + unconditional
+    Winkler prefix boost, reference main.py:276-279). DuckDB's builtin
+    ``jaro_winkler_similarity`` uses a DIFFERENT matching variant (diverges on
+    ~23% of random unequal-length pairs), so the oracle instead re-implements
+    the greedy matcher itself as a recursive CTE over source positions —
+    bit-exact vs the kernel (fuzz-pinned in tests/test_kernels.py)."""
     from ..functions.similarity import make_pair_sim_udf
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
@@ -416,6 +421,77 @@ def q_er_pairs_jw(spark, sf_dir):
         pairs.join(d1, "id1").join(d2, "id2")
         .select("id1", "id2", F.round(jw("p1", "p2"), 6).alias("jw_sim"))
     )
+
+
+# The greedy matcher as SQL, exactly the kernel's algorithm
+# (functions/similarity.py:jaro_batch): process source positions i = 1..la in
+# order; each matches the smallest unmatched target position j with
+# s2[j] == s1[i] and |j - i| <= window, window = max(la, lb)//2 - 1 (>= 0).
+# m = #matches; transpositions = (#positions where source-order matched chars
+# differ from target-order matched chars) / 2. Winkler boost uses the common
+# prefix up to 4 chars, unconditional, weight 0.1 — NOTE cast(0.1 as double):
+# a bare 0.1 literal is DECIMAL in DuckDB and flips the last ulp.
+SQL_ER_PAIRS_JW = (
+    "with recursive "
+    + _er_pairs_cte(ER_BLOCKING)
+    + f""",
+jw_in as (
+    select p.id1, p.id2, substr(c1.doc, 1, {PREFIX}) as s1,
+           substr(c2.doc, 1, {PREFIX}) as s2
+    from cand_pairs p
+    join canon c1 on p.id1 = c1.conv_id
+    join canon c2 on p.id2 = c2.conv_id
+),
+jw_len as (
+    select id1, id2, s1, s2, length(s1) as la, length(s2) as lb,
+           greatest(greatest(length(s1), length(s2)) // 2 - 1, 0) as win
+    from jw_in
+),
+jw_gm as (
+    select id1, id2, s1, s2, la, lb, win, 0 as i,
+           cast([] as integer[]) as mb, '' as ca
+    from jw_len
+  union all
+    select id1, id2, s1, s2, la, lb, win, i + 1 as i,
+           case when j is not null then list_append(mb, j) else mb end as mb,
+           case when j is not null then ca || s1[i+1] else ca end as ca
+    from (
+        select g.*,
+               list_aggregate(list_filter(
+                   range(greatest(1, i + 1 - win), least(lb, i + 1 + win) + 1),
+                   j -> s2[j] = s1[i+1] and not list_contains(mb, j)
+               ), 'min') as j
+        from jw_gm g
+        where i < la
+    )
+),
+jw_fin as (
+    select id1, id2, s1, s2, la, lb, len(mb) as m,
+           ca, list_transform(list_sort(mb), j -> s2[j]) as cb
+    from jw_gm where i = la
+),
+jw_tc as (
+    select id1, id2, s1, s2, la, lb, m,
+           len(list_filter(range(1, m + 1), k -> ca[k] <> cb[k])) as tc
+    from jw_fin
+),
+jw_sim as (
+    select id1, id2,
+           case when la = 0 and lb = 0 then 1.0
+                when m = 0 then 0.0
+                else (m / cast(la as double) + m / cast(lb as double)
+                      + (m - tc / 2.0) / m) / 3.0
+           end as jaro,
+           coalesce(
+             list_aggregate(list_filter(range(1, least(4, la, lb) + 1),
+                                        k -> s1[k] <> s2[k]), 'min') - 1,
+             least(4, la, lb)) as l
+    from jw_tc
+)
+select id1, id2,
+       round(jaro + l * cast(0.1 as double) * (1.0 - jaro), 6) as jw_sim
+from jw_sim"""
+)
 
 
 def q_er_exact_match(spark, sf_dir):
@@ -2195,7 +2271,9 @@ ORACLES = {
     "er_block_metrics": SQL_ER_BLOCK_METRICS,
     "er_pairs_lev": SQL_ER_PAIRS_LEV,
     "er_pairs_tfidf": SQL_ER_PAIRS_TFIDF,
-    # er_pairs_jw: intentionally no oracle (JW variant divergence; see docstring)
+    # er_pairs_jw oracle: NOT DuckDB's jaro_winkler_similarity (different
+    # matching variant) — the greedy matcher itself as a recursive CTE
+    "er_pairs_jw": SQL_ER_PAIRS_JW,
     "er_exact_match": SQL_ER_EXACT_MATCH,
     "er_rel_jaccard": SQL_ER_REL_JACCARD,
     "er_rel_adar": SQL_ER_REL_ADAR,
@@ -2943,3 +3021,56 @@ left join ncand nc on n.conv_id = nc.new_id"""
 
 QUERIES["er_attach"] = q_er_attach
 ORACLES["er_attach"] = SQL_ER_ATTACH
+
+
+# ---------------------------------------------------------------------------
+# Clustering drift (run-over-run churn)
+# ---------------------------------------------------------------------------
+
+def q_er_cluster_drift(spark, sf_dir):
+    """Run-over-run clustering churn (evaluate.cluster_drift) between two
+    deterministic clusterings of the SAME documents: A groups docs by their
+    FIRST token, B by their LAST token. Neither refines the other, so all
+    four churn counters (stable / split / merged) and the co-clustered-pair
+    Jaccard take non-trivial values. Everything reduces to the (A, B)
+    contingency table — no pair materialization (clusters ≪ records)."""
+    from ..evaluate import cluster_drift
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 1)
+    )
+    a = docs.select("doc_id", F.element_at("toks", 1).alias("cluster_id"))
+    b = docs.select("doc_id", F.element_at("toks", -1).alias("cluster_id"))
+    return cluster_drift(a, b, id_col="doc_id")
+
+
+SQL_ER_CLUSTER_DRIFT = f"""
+with toks as (
+    select doc_id, {TOK} as t from documents
+),
+asg as (
+    select doc_id, t[1] as ca, t[len(t)] as cb from toks where len(t) >= 1
+),
+cont as (select ca, cb, count(*) as n from asg group by ca, cb),
+sa as (select ca, sum(n) as m, count(*) as parts from cont group by ca),
+sb as (select cb, sum(n) as m, count(*) as parts from cont group by cb)
+select
+  cast((select sum(n) from cont) as bigint) as n_records,
+  cast((select count(*) from sa) as bigint) as n_clusters_a,
+  cast((select count(*) from sb) as bigint) as n_clusters_b,
+  cast((select count(*)
+        from sa a join cont c on a.ca = c.ca join sb b on c.cb = b.cb
+        where a.parts = 1 and a.m = b.m) as bigint) as n_stable,
+  cast((select count(*) from sa where parts > 1) as bigint) as n_split,
+  cast((select count(*) from sb where parts > 1) as bigint) as n_merged,
+  coalesce(round(
+    (select sum(n * (n - 1) / 2.0) from cont) /
+    nullif((select sum(m * (m - 1) / 2.0) from sa)
+           + (select sum(m * (m - 1) / 2.0) from sb)
+           - (select sum(n * (n - 1) / 2.0) from cont), 0), 6), 1.0)
+    as pair_jaccard"""
+
+QUERIES["er_cluster_drift"] = q_er_cluster_drift
+ORACLES["er_cluster_drift"] = SQL_ER_CLUSTER_DRIFT

@@ -66,3 +66,35 @@ def test_blocking_quality_golden(spark):
     assert r.reduction_ratio == 0.7
     assert r.pair_completeness == 0.5
     assert r.pair_quality == 0.666667
+
+
+def test_cluster_drift_golden(spark):
+    from entityresolution_capstone_spark.evaluate import cluster_drift
+
+    a = spark.createDataFrame(
+        [("1", "x"), ("2", "x"), ("3", "y"), ("4", "y"), ("5", "z"), ("6", "w")],
+        "conv_id string, cluster_id string",
+    )
+    b = spark.createDataFrame(
+        [("1", "p"), ("2", "p"), ("3", "q"), ("4", "r"), ("5", "r"), ("6", "s")],
+        "conv_id string, cluster_id string",
+    )
+    r = cluster_drift(a, b).collect()[0]
+    # x->{p} whole (stable), y splits into {q,r}, z lands inside r (r also
+    # holds a y member -> merged), w->{s} stable.
+    assert r.n_records == 6
+    assert r.n_clusters_a == 4 and r.n_clusters_b == 4
+    assert r.n_stable == 2 and r.n_split == 1 and r.n_merged == 1
+    # pairs(A)={12,34}, pairs(B)={12,45}, both={12} -> 1/3
+    assert r.pair_jaccard == 0.333333
+
+
+def test_cluster_drift_identical(spark):
+    from entityresolution_capstone_spark.evaluate import cluster_drift
+
+    a = spark.createDataFrame(
+        [("1", "x"), ("2", "x"), ("3", "y")], "conv_id string, cluster_id string"
+    )
+    r = cluster_drift(a, a).collect()[0]
+    assert r.n_stable == 2 and r.n_split == 0 and r.n_merged == 0
+    assert r.pair_jaccard == 1.0

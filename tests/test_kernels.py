@@ -204,3 +204,97 @@ def test_bitparallel_jaro_matches_scalar_long_strings(s1, s2):
     boundaries (patterns > 64 chars use 2 uint64 words)."""
     got = k(lambda a, b: jaro_batch(a, b, max_len=128), s1, s2)
     assert abs(got - _jaro_scalar(s1[:128], s2[:128])) < 1e-12, (s1, s2)
+
+
+def test_jw_sql_oracle_matches_kernel_bit_exact():
+    """The er_pairs_jw DuckDB oracle re-implements the kernel's greedy
+    matcher as a recursive CTE (driver_queries.SQL_ER_PAIRS_JW). Pin the
+    matcher SQL bit-exactly (pre-round) against jaro_winkler_batch on
+    adversarial small-alphabet fuzz pairs + word-ish docs + edge cases."""
+    import random
+
+    from entityresolution_capstone_spark.functions.similarity import (
+        jaro_winkler_batch,
+    )
+
+    rng = random.Random(11)
+    alpha = "ab c01"
+    pairs = []
+    for _ in range(1500):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        pairs.append(
+            ("".join(rng.choice(alpha) for _ in range(la)).strip(),
+             "".join(rng.choice(alpha) for _ in range(lb)).strip())
+        )
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for _ in range(300):
+        pairs.append(
+            (" ".join(rng.choices(words, k=rng.randint(1, 10)))[:64],
+             " ".join(rng.choices(words, k=rng.randint(1, 10)))[:64])
+        )
+    pairs += [("", ""), ("abc", ""), ("abc", "abc"), ("ba", "ab")]
+
+    con = duckdb.connect()
+    con.execute(
+        "create table p as select * from (values "
+        + ",".join(f"({i}, ?, ?)" for i in range(len(pairs)))
+        + ") t(pid, s1, s2)",
+        [x for pr in pairs for x in pr],
+    )
+    sql = """
+with recursive jlen as (
+    select pid, s1, s2, length(s1) as la, length(s2) as lb,
+           greatest(greatest(length(s1), length(s2)) // 2 - 1, 0) as win
+    from p
+),
+gm as (
+    select pid, s1, s2, la, lb, win, 0 as i,
+           cast([] as integer[]) as mb, '' as ca
+    from jlen
+  union all
+    select pid, s1, s2, la, lb, win, i + 1 as i,
+           case when j is not null then list_append(mb, j) else mb end as mb,
+           case when j is not null then ca || s1[i+1] else ca end as ca
+    from (
+        select g.*,
+               list_aggregate(list_filter(
+                   range(greatest(1, i + 1 - win), least(lb, i + 1 + win) + 1),
+                   j -> s2[j] = s1[i+1] and not list_contains(mb, j)
+               ), 'min') as j
+        from gm g
+        where i < la
+    )
+),
+fin as (
+    select pid, s1, s2, la, lb, len(mb) as m,
+           ca, list_transform(list_sort(mb), j -> s2[j]) as cb
+    from gm where i = la
+),
+tcs as (
+    select pid, s1, s2, la, lb, m,
+           len(list_filter(range(1, m + 1), k -> ca[k] <> cb[k])) as tc
+    from fin
+),
+sim as (
+    select pid,
+           case when la = 0 and lb = 0 then 1.0
+                when m = 0 then 0.0
+                else (m / cast(la as double) + m / cast(lb as double)
+                      + (m - tc / 2.0) / m) / 3.0
+           end as jaro,
+           coalesce(
+             list_aggregate(list_filter(range(1, least(4, la, lb) + 1),
+                                        k -> s1[k] <> s2[k]), 'min') - 1,
+             least(4, la, lb)) as l
+    from tcs
+)
+select pid, jaro + l * cast(0.1 as double) * (1.0 - jaro) as jw
+from sim order by pid
+"""
+    got = np.array([r[1] for r in con.execute(sql).fetchall()])
+    exp = jaro_winkler_batch(
+        np.array([p[0] for p in pairs], dtype=object),
+        np.array([p[1] for p in pairs], dtype=object),
+    )
+    assert len(got) == len(pairs)
+    assert (got == exp).all(), np.nonzero(got != exp)[0][:5]
