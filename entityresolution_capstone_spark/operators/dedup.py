@@ -683,3 +683,89 @@ def hash_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span removal (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    documents: DataFrame,
+    n: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove exactly-duplicated token spans from every document.
+
+    Document-level near-dedup (MinHash/SimHash above) misses the other failure
+    mode of web corpora: boilerplate SUBSTRINGS (headers, license blocks,
+    navigation chrome) pasted into otherwise-distinct documents. Following the
+    exact-substring dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022; suffix-array formulation — PAPERS.md),
+    re-expressed as DataFrame algebra on fixed-length token n-grams:
+
+    1. explode each doc's token n-grams with their start offset;
+    2. corpus-wide gram occurrence counts (one map-side-combinable groupBy);
+    3. a gram occurring ``>= min_count`` times anywhere (including twice in
+       one doc) is duplicated; collect each doc's duplicated-gram starts;
+    4. drop every token covered by any duplicated gram — the span-union mask
+       is a per-row ``filter(tokens, (tok, i) -> !exists(starts, ...))``,
+       pure JVM Column algebra, no UDF.
+
+    Scale shape: the gram table is |corpus tokens| rows -> one shuffle for the
+    count, one for the starts groupBy; the mask is map-side. Token positions
+    are per-document, so nothing global is ordered. The per-token exists()
+    scan is bounded by the doc's own duplicated-gram count (pathological
+    all-duplicate docs degrade to O(len^2) per doc — still within one task).
+
+    Returns (doc_id, n_tokens, n_dup_grams, n_removed, clean_text).
+    """
+    docs = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    # (doc_id, start, gram): start is 1-based; docs shorter than n emit none.
+    # NB sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard short docs
+    # explicitly instead of clamping the stop bound.
+    n_starts = F.size("toks") - n + 1
+    starts_seq = F.when(n_starts >= 1, F.sequence(F.lit(1), n_starts)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts_seq,
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "gram")
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    starts = (
+        grams.join(dup_grams.select("gram"), "gram")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+    )
+    masked = docs.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    kept = F.filter(
+        "toks",
+        lambda tok, i: ~F.exists(
+            "starts", lambda s: (s <= i + 1) & (i + 1 <= s + (n - 1))
+        ),
+    )
+    return masked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("starts").cast("long").alias("n_dup_grams"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -1470,6 +1470,55 @@ select cast(doc_id as bigint) as doc_id,
 from ch, lateral (select unnest(range(nc)) as i) u"""
 
 
+_SPAN_N = 5
+
+
+def q_doc_spans(spark, sf_dir):
+    """Exact duplicated-span removal (dedup.duplicate_spans): corpus-wide
+    5-token-gram counts, spans occurring >=2 times anywhere are masked out of
+    every document (Lee et al. exact-substring dedup, re-expressed as
+    DataFrame algebra — no suffix array, no global order)."""
+    return D.duplicate_spans(
+        load(spark, sf_dir, "documents"), n=_SPAN_N, min_count=2
+    )
+
+
+SQL_DOC_SPANS = f"""
+with toks as (select cast(doc_id as bigint) as doc_id, {TOK} as t from documents),
+grams as (
+    select doc_id, cast(u.i + 1 as int) as start,
+           array_to_string(list_slice(t, u.i + 1, u.i + {_SPAN_N}), ' ') as gram
+    from toks, lateral (select unnest(range(greatest(len(t) - {_SPAN_N} + 1, 0))) as i) u
+),
+dup as (select gram from grams group by gram having count(*) >= 2),
+dupstarts as (select g.doc_id, g.start from grams g join dup using (gram)),
+rem as (
+    select distinct d.doc_id, d.start + v.j as p
+    from dupstarts d, lateral (select unnest(range({_SPAN_N})) as j) v
+),
+pos as (
+    select doc_id, cast(u.i + 1 as bigint) as p, t[u.i + 1] as tok
+    from toks, lateral (select unnest(range(len(t))) as i) u
+),
+keptxt as (
+    select pos.doc_id,
+           coalesce(string_agg(tok, ' ' order by pos.p)
+                    filter (where rem.p is null), '') as clean_text,
+           count(*) filter (where rem.p is not null) as nrem
+    from pos left join rem on pos.doc_id = rem.doc_id and pos.p = rem.p
+    group by pos.doc_id
+),
+nstart as (select doc_id, count(*) as ndup from dupstarts group by doc_id)
+select t.doc_id,
+       cast(len(t.t) as bigint) as n_tokens,
+       cast(coalesce(n.ndup, 0) as bigint) as n_dup_grams,
+       cast(coalesce(k.nrem, 0) as bigint) as n_removed,
+       coalesce(k.clean_text, '') as clean_text
+from toks t
+left join keptxt k using (doc_id)
+left join nstart n using (doc_id)"""
+
+
 def q_doc_sample(spark, sf_dir):
     """Deterministic stratified downsampling (dedup.stratified_sample): strata
     by token-count band (short <40, medium <70, long), keep rates 25%/50%/100%,
@@ -2260,6 +2309,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "doc_sample": q_doc_sample,
     "doc_chunks": q_doc_chunks,
+    "doc_spans": q_doc_spans,
 }
 
 ORACLES = {
@@ -2313,6 +2363,7 @@ ORACLES = {
     "domain_stats": SQL_DOMAIN_STATS,
     "doc_sample": SQL_DOC_SAMPLE,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "doc_spans": SQL_DOC_SPANS,
 }
 
 

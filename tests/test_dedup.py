@@ -198,3 +198,30 @@ def test_cross_minhash_reports_no_within_side_pairs(spark):
         for r in D.cross_minhash_duplicates(new, base).collect()
     }
     assert got == {(1, 2)}  # 3-5 is new x new: excluded by construction
+
+
+def test_duplicate_spans_golden(spark):
+    from entityresolution_capstone_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # shares "a b c" with doc 2
+            (2, "x y a b c z"),
+            (3, "p q r s p q r s"),      # internal repetition only
+            (4, "one two"),              # shorter than n -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicate_spans(docs, n=3, min_count=2).collect()
+    }
+    assert out[1].clean_text == "d e f" and out[1].n_removed == 3
+    assert out[1].n_dup_grams == 1 and out[1].n_tokens == 6
+    assert out[2].clean_text == "x y z" and out[2].n_removed == 3
+    # doc 3: grams "p q r" and "q r s" each occur twice (starts 1,2,5,6)
+    # -> spans cover every token
+    assert out[3].clean_text == "" and out[3].n_removed == 8
+    assert out[3].n_dup_grams == 4
+    assert out[4].clean_text == "one two" and out[4].n_removed == 0
+    assert out[4].n_dup_grams == 0
