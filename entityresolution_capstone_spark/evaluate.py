@@ -296,6 +296,9 @@ def evaluate(
         return ami_score(labels, preds, **kwargs)
     if strategy == "v_measure":
         return v_measure_score(labels, preds, **kwargs)
+    if strategy == "bcubed":
+        row = bcubed(labels, preds, **kwargs).collect()[0]
+        return (row["bcubed_precision"], row["bcubed_recall"], row["bcubed_f1"])
     raise ValueError(f"unknown evaluator strategy: {strategy}")
 
 
@@ -458,4 +461,61 @@ def cluster_drift(
         ],
         "n_records long, n_clusters_a long, n_clusters_b long, n_stable long, "
         "n_split long, n_merged long, pair_jaccard double",
+    )
+
+
+def bcubed(
+    labels: DataFrame,
+    preds: DataFrame,
+    id_col: str = "conv_id",
+    label_col: str = "entity_id",
+    pred_col: str = "cluster_id",
+) -> DataFrame:
+    """B-cubed precision / recall / F1 (Bagga & Baldwin 1998) — the standard
+    per-record clustering metric alongside pairwise F1 / AMI / V-measure
+    (reference evaluates clusterings via utils.py:655-767; B³ is the
+    per-record counterpart of its pairwise contingency algebra).
+
+    Per record e: precision(e) = |C(e) ∩ L(e)| / |C(e)|,
+    recall(e) = |C(e) ∩ L(e)| / |L(e)|; B³ P/R are the means over records.
+    Every record in a (label, pred) contingency cell of size n shares the
+    same terms, so the whole metric is three groupBy aggregations over the
+    cell table — fully distributed, no pair materialization, no collect of
+    anything wider than one row.
+
+    Exactness discipline: per-record terms are floored to integer
+    micro-units (``(n * 1_000_000) div cluster_size`` — pure int64 algebra)
+    before summing, so the result is independent of partitioning /
+    summation order and bit-reproducible in the ANSI-SQL oracle. Bounds:
+    each record contributes ≤ 1e6 micro-units, so the sums stay inside
+    int64 up to ~9e12 records.
+
+    Returns one row: (n_records, bcubed_precision, bcubed_recall,
+    bcubed_f1), doubles rounded to 6dp.
+    """
+    j = labels.select(id_col, label_col).join(preds.select(id_col, pred_col), id_col)
+    cont = j.groupBy(label_col, pred_col).agg(F.count("*").cast("long").alias("n"))
+    pc = j.groupBy(pred_col).agg(F.count("*").cast("long").alias("pc"))
+    lc = j.groupBy(label_col).agg(F.count("*").cast("long").alias("lc"))
+    cells = cont.join(pc, pred_col).join(lc, label_col)
+    agg = cells.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum(F.expr("n * ((n * 1000000) div pc)")).alias("mp"),
+        F.sum(F.expr("n * ((n * 1000000) div lc)")).alias("mr"),
+    ).select(
+        F.col("n_tot").cast("long").alias("n_records"),
+        (F.col("mp").cast("double") / (F.col("n_tot") * F.lit(1000000.0))).alias("_p"),
+        (F.col("mr").cast("double") / (F.col("n_tot") * F.lit(1000000.0))).alias("_r"),
+    )
+    return agg.select(
+        "n_records",
+        F.round("_p", 6).alias("bcubed_precision"),
+        F.round("_r", 6).alias("bcubed_recall"),
+        F.round(
+            F.when(
+                (F.col("_p") + F.col("_r")) > 0,
+                2.0 * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("bcubed_f1"),
     )

@@ -769,3 +769,109 @@ def duplicate_spans(
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means-cell semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embedding space, compare pairs ONLY within a cell,
+    and in every duplicate neighborhood keep the member farthest from its
+    centroid (the paper's diversity-preserving keep rule), breaking exact
+    distance ties toward the smaller id.
+
+    Returns the DROPPED records: (doc_id, cid, kept_id, cosine) — kept_id is
+    the qualifying neighbor that outranks doc_id (the strongest such witness:
+    max distance-to-centroid, then min id), cosine is their similarity.
+    The kept corpus is ``embeddings`` anti-joined on doc_id.
+
+    Scale shape: the coarse quantizer is the IVF index
+    (similarity_search.ivf_index — integer-exact Lloyd rounds, so the oracle
+    replays the clustering bit-for-bit). The pair join is cell-partitioned:
+    candidate count is Σ_cells |cell|²/2 instead of n²/2, and n_cells is the
+    dial that bounds cell width at corpus scale (SemDeDup uses ~100k cells
+    for billions of vectors). ``max_cell_size`` excludes degenerate hot
+    cells from pairing (cap + report policy, same as blocking); the drop
+    rule is a per-record EXISTS — no transitive closure, no distinct over
+    the pair set.
+    """
+    from .similarity_search import (
+        _cosine,
+        _ivf_dist,
+        _ivf_quantized,
+        _with_norm,
+        ivf_index,
+    )
+
+    spark = embeddings.sparkSession
+    assign, cents = ivf_index(embeddings, n_cells, rounds, id_col, vec_col, seed)
+    if max_cell_size is not None:
+        hot = (
+            assign.groupBy("cid")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") > max_cell_size)
+            .select("cid")
+        )
+        assign = assign.join(F.broadcast(hot), "cid", "left_anti")
+    cdf = spark.createDataFrame(cents, schema="cid int, s array<bigint>, cnt bigint")
+    qv = _ivf_quantized(embeddings, id_col, vec_col).select("id", "qe")
+    own = (
+        assign.join(qv, "id")
+        .join(F.broadcast(cdf), "cid")
+        .select(
+            "id", "cid", _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s")).alias("d")
+        )
+    )
+    side = own.join(_with_norm(embeddings, id_col, vec_col), "id")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = side.select(
+        "cid",
+        F.col("id").alias("id1"),
+        F.col("d").alias("d1"),
+        F.col("v").alias("v1"),
+        F.col("norm").alias("n1"),
+    ).repartition(n_part, "cid")
+    b = side.select(
+        "cid",
+        F.col("id").alias("id2"),
+        F.col("d").alias("d2"),
+        F.col("v").alias("v2"),
+        F.col("norm").alias("n2"),
+    ).repartition(n_part, "cid")
+    beats = (
+        a.join(b, "cid")
+        .filter(
+            (F.col("d2") > F.col("d1"))
+            | ((F.col("d2") == F.col("d1")) & (F.col("id2") < F.col("id1")))
+        )
+        .select(
+            "cid",
+            "id1",
+            "id2",
+            "d2",
+            _cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return beats.groupBy("id1").agg(
+        F.min("cid").alias("cid"),  # constant within the group (one cell per id)
+        F.max_by(F.struct("id2", "cos"), F.struct(F.col("d2"), -F.col("id2"))).alias(
+            "_w"
+        ),
+    ).select(
+        F.col("id1").alias("doc_id"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("_w.id2").alias("kept_id"),
+        F.col("_w.cos").alias("cosine"),
+    )

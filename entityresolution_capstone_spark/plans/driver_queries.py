@@ -1173,16 +1173,13 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
-def _ivf_sql(
-    n_cells: int = 8,
-    rounds: int = 2,
-    nprobe: int = 2,
-    k: int = 10,
-    dim: int = 64,
-    seed: int = 11,
-    n_queries: int = 8,
-) -> str:
-    """Unrolled Lloyd rounds; mirrors similarity_search.ivf_topk exactly."""
+def _ivf_cells_parts(
+    n_cells: int, rounds: int, dim: int, seed: int
+) -> tuple[list[str], str, str]:
+    """Shared CTE prefix replaying similarity_search.ivf_index bit-for-bit:
+    unrolled integer-exact Lloyd rounds. Returns (cte_parts, final assignment
+    CTE name, final centroid CTE name, ) plus the dist expression used by
+    consumers (aliases: v = quantized vectors, c = centroids)."""
     quant = "[cast(floor(x * 1000 + 0.5) as bigint) for x in e]"
     dist = (
         f"list_sum(list_transform(range({dim}), "
@@ -1227,7 +1224,20 @@ def _ivf_sql(
     from u{r} u join cn{r} c using (cid)
     group by u.cid)"""
             )
-    final_b = f"b{rounds + 1}"
+    return parts, f"b{rounds + 1}", dist
+
+
+def _ivf_sql(
+    n_cells: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    seed: int = 11,
+    n_queries: int = 8,
+) -> str:
+    """Unrolled Lloyd rounds; mirrors similarity_search.ivf_topk exactly."""
+    parts, final_b, dist = _ivf_cells_parts(n_cells, rounds, dim, seed)
     parts.append(
         f"""qs as (select * from q0 where id < {n_queries})"""
     )
@@ -3125,3 +3135,126 @@ select
 
 QUERIES["er_cluster_drift"] = q_er_cluster_drift
 ORACLES["er_cluster_drift"] = SQL_ER_CLUSTER_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# B-cubed precision / recall / F1 (per-record clustering metric)
+# ---------------------------------------------------------------------------
+
+def q_er_eval_bcubed(spark, sf_dir):
+    """B³ P/R/F1 (evaluate.bcubed) on the same labels/preds as the AMI /
+    V-measure queries. Unlike those two (whose EMI/entropy sums are doubles
+    and therefore rows-only-adjacent), B³ reduces to exact integer
+    micro-unit sums, so it gets the full hash-level oracle."""
+    from ..evaluate import bcubed
+
+    labels, preds = _metric_inputs(spark, sf_dir)
+    return bcubed(labels, preds)
+
+
+SQL_ER_EVAL_BCUBED = (
+    "with "
+    + CANON_CTE
+    + """,
+preds as (
+    select conv_id, min(conv_id) over (partition by doc) as cluster_id from canon
+),
+labels as (
+    select printf('c%06d', doc_id) as conv_id, doc_id % 97 as entity_id from documents
+),
+j as (select l.entity_id, p.cluster_id from labels l join preds p using (conv_id)),
+cont as (
+    select entity_id, cluster_id, count(*)::bigint as n from j group by 1, 2
+),
+pc as (select cluster_id, count(*)::bigint as pc from j group by 1),
+lc as (select entity_id, count(*)::bigint as lc from j group by 1),
+agg as (
+    select sum(c.n)::bigint as n_tot,
+           sum(c.n * ((c.n * 1000000) // p.pc))::bigint as mp,
+           sum(c.n * ((c.n * 1000000) // l.lc))::bigint as mr
+    from cont c join pc p using (cluster_id) join lc l using (entity_id)
+),
+pr as (
+    select n_tot,
+           mp / (n_tot * 1000000.0) as p,
+           mr / (n_tot * 1000000.0) as r
+    from agg
+)
+select n_tot as n_records,
+       round(p, 6) as bcubed_precision,
+       round(r, 6) as bcubed_recall,
+       round(case when p + r > 0 then 2.0 * p * r / (p + r) else 0.0 end, 6)
+           as bcubed_f1
+from pr"""
+)
+
+QUERIES["er_eval_bcubed"] = q_er_eval_bcubed
+ORACLES["er_eval_bcubed"] = SQL_ER_EVAL_BCUBED
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means-cell semantic dedup (dropped records + witnesses)
+# ---------------------------------------------------------------------------
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (dedup.semantic_duplicates): pairs compared only within an
+    IVF k-means cell; each duplicate neighborhood keeps the member farthest
+    from its centroid. The quantizer is integer-exact, so the oracle replays
+    the full Lloyd iteration AND the keep rule bit-for-bit."""
+    dups = D.semantic_duplicates(
+        load(spark, sf_dir, "embeddings"), threshold=0.35, n_cells=8, rounds=2
+    )
+    return dups.select(
+        "doc_id", "cid", "kept_id", F.round("cosine", 5).alias("cosine")
+    )
+
+
+def _semdedup_sql(
+    n_cells: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    seed: int = 11,
+    tau: float = 0.35,
+) -> str:
+    """Mirrors dedup.semantic_duplicates exactly (same cells as ann_ivf)."""
+    parts, final_b, dist = _ivf_cells_parts(n_cells, rounds, dim, seed)
+    parts.append(
+        f"""own as (
+    select v.id, b.cid, {dist} as d
+    from q0 v join {final_b} b using (id) join cents{rounds} c using (cid))"""
+    )
+    parts.append(
+        "nrm as (select id, e, sqrt(list_dot_product(e, e)) as nr from v0)"
+    )
+    parts.append(
+        """beats as (
+    select a.cid, a.id as id1, b.id as id2, b.d as d2,
+           case when na.nr > 0 and nb.nr > 0
+                then list_dot_product(na.e, nb.e) / (na.nr * nb.nr)
+                else 0.0 end as cos
+    from own a
+    join own b on a.cid = b.cid
+        and (b.d > a.d or (b.d = a.d and b.id < a.id))
+    join nrm na on na.id = a.id
+    join nrm nb on nb.id = b.id)"""
+    )
+    parts.append(
+        f"""wit as (
+    select cid, id1, id2, cos,
+           row_number() over (partition by id1 order by d2 desc, id2) as rn
+    from beats where cos >= {tau})"""
+    )
+    body = ",\n".join(parts)
+    return (
+        body
+        + """
+select id1::bigint as doc_id, cid::bigint as cid, id2::bigint as kept_id,
+       round(cos, 5) as cosine
+from wit where rn = 1"""
+    )
+
+
+SQL_DEDUP_SEMANTIC = _semdedup_sql()
+
+QUERIES["dedup_semantic"] = q_dedup_semantic
+ORACLES["dedup_semantic"] = SQL_DEDUP_SEMANTIC

@@ -225,3 +225,73 @@ def test_duplicate_spans_golden(spark):
     assert out[3].n_dup_grams == 4
     assert out[4].clean_text == "one two" and out[4].n_removed == 0
     assert out[4].n_dup_grams == 0
+
+
+def test_semantic_duplicates_matches_numpy_emulator(spark):
+    """semantic_duplicates == a sequential NumPy replay of the SemDeDup rule
+    (same IVF cells, distance-to-centroid priority, per-record best witness)."""
+    import numpy as np
+
+    from entityresolution_capstone_spark.operators.similarity_search import (
+        _ivf_quantized,
+        ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    tau = 0.3
+    got = {
+        r["doc_id"]: (r["cid"], r["kept_id"])
+        for r in D.semantic_duplicates(emb, threshold=tau, n_cells=4, rounds=2).collect()
+    }
+
+    assign, cents = ivf_index(emb, n_cells=4, rounds=2)
+    cell = {r["id"]: r["cid"] for r in assign.collect()}
+    qe = {
+        r["id"]: np.array(r["qe"], dtype=np.int64)
+        for r in _ivf_quantized(emb, "vec_id", "embedding").select("id", "qe").collect()
+    }
+    cmap = {cid: (np.array(s, dtype=np.int64), cnt) for cid, s, cnt in cents}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()
+    }
+    d = {}
+    for i, cid in cell.items():
+        s, cnt = cmap[cid]
+        diff = cnt * qe[i] - s
+        d[i] = float(np.sum(diff * diff)) / (cnt * cnt)
+    by_cell = {}
+    for i, cid in cell.items():
+        by_cell.setdefault(cid, []).append(i)
+    want = {}
+    for cid, ids in by_cell.items():
+        norms = {i: float(np.linalg.norm(vecs[i])) for i in ids}
+        for i in ids:
+            best = None
+            for j in ids:
+                if j == i:
+                    continue
+                if not (d[j] > d[i] or (d[j] == d[i] and j < i)):
+                    continue
+                if norms[i] > 0 and norms[j] > 0:
+                    cos = float(vecs[i] @ vecs[j]) / (norms[i] * norms[j])
+                else:
+                    cos = 0.0
+                if cos < tau:
+                    continue
+                key = (d[j], -j)
+                if best is None or key > best[0]:
+                    best = (key, j)
+            if best is not None:
+                want[i] = (cid, best[1])
+    assert got == want
+    assert len(got) > 0  # the fixture actually exercises the rule
+    # the farthest-from-centroid member of every cell is never dropped
+    for cid, ids in by_cell.items():
+        far = max(ids, key=lambda i: (d[i], -i))
+        assert far not in got
+
+
+def test_semantic_duplicates_cell_cap(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = D.semantic_duplicates(emb, threshold=0.0, n_cells=4, max_cell_size=0)
+    assert out.count() == 0

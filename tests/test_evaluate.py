@@ -98,3 +98,37 @@ def test_cluster_drift_identical(spark):
     r = cluster_drift(a, a).collect()[0]
     assert r.n_stable == 2 and r.n_split == 0 and r.n_merged == 0
     assert r.pair_jaccard == 1.0
+
+
+def test_bcubed_golden(fixture_dfs):
+    # Hand-computed on the 5-node fixture:
+    # P(1)=P(2)=2/3, P(3)=1/3, P(4)=P(5)=1 -> B3P = 11/15
+    # R(1)=R(2)=R(3)=1, R(4)=R(5)=1/2     -> B3R = 4/5
+    labels, preds = fixture_dfs
+    row = E.bcubed(labels, preds).collect()[0]
+    assert row["n_records"] == 5
+    assert row["bcubed_precision"] == pytest.approx(11 / 15, abs=2e-6)
+    assert row["bcubed_recall"] == pytest.approx(0.8, abs=2e-6)
+    assert row["bcubed_f1"] == pytest.approx(0.765217, abs=2e-6)
+
+
+def test_bcubed_perfect_and_singletons(fixture_dfs):
+    labels, _ = fixture_dfs
+    perfect = labels.selectExpr("conv_id", "cast(entity_id as string) as cluster_id")
+    row = E.bcubed(labels, perfect).collect()[0]
+    assert (row["bcubed_precision"], row["bcubed_recall"], row["bcubed_f1"]) == (
+        1.0,
+        1.0,
+        1.0,
+    )
+    # all-singleton preds: precision 1, recall = mean(1/|L(e)|) = (4*(1/2)+1)/5
+    singles = labels.selectExpr("conv_id", "conv_id as cluster_id")
+    row = E.bcubed(labels, singles).collect()[0]
+    assert row["bcubed_precision"] == 1.0
+    assert row["bcubed_recall"] == pytest.approx(0.6, abs=2e-6)
+
+
+def test_bcubed_dispatch(fixture_dfs):
+    labels, preds = fixture_dfs
+    p, r, f1 = E.evaluate(labels, preds, strategy="bcubed")
+    assert r == pytest.approx(0.8, abs=2e-6)
