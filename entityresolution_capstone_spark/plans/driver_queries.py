@@ -3258,3 +3258,138 @@ SQL_DEDUP_SEMANTIC = _semdedup_sql()
 
 QUERIES["dedup_semantic"] = q_dedup_semantic
 ORACLES["dedup_semantic"] = SQL_DEDUP_SEMANTIC
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic linkage (EM-fitted m/u weights)
+# ---------------------------------------------------------------------------
+
+def q_er_fs(spark, sf_dir):
+    """Fellegi-Sunter EM over the candidate pairs' agreement vectors
+    (operators/fellegi_sunter.py). The three comparison fields are pure
+    integer/string predicates — prefix equality, 2·|∩| ≥ |∪| token overlap,
+    |Δ distinct-token-count| ≤ 2 — so the whole EM trajectory (posteriors
+    frozen to integer nano-units each round) replays bit-for-bit in the
+    DuckDB oracle. Output: the fitted 2^3-pattern table."""
+    import math as _math
+
+    from ..operators import fellegi_sunter as FS
+
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    tk = docs.select("conv_id", F.explode(F.array_distinct("tokens")).alias("token"))
+    sizes = docs.select(
+        "conv_id", F.size(F.array_distinct("tokens")).cast("long").alias("nt")
+    )
+    inter = (
+        pairs.join(tk.select(F.col("conv_id").alias("id1"), "token"), "id1")
+        .join(tk.select(F.col("conv_id").alias("id2"), "token"), ["id2", "token"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("long").alias("ni"))
+    )
+    vec = (
+        pairs.join(
+            docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1")),
+            "id1",
+        )
+        .join(
+            docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2")),
+            "id2",
+        )
+        .join(sizes.select(F.col("conv_id").alias("id1"), F.col("nt").alias("n1")), "id1")
+        .join(sizes.select(F.col("conv_id").alias("id2"), F.col("nt").alias("n2")), "id2")
+        .join(inter, ["id1", "id2"], "left")
+        .select(
+            (F.col("p1") == F.col("p2")).alias("g1"),
+            (
+                2 * F.coalesce("ni", F.lit(0))
+                >= F.col("n1") + F.col("n2") - F.coalesce("ni", F.lit(0))
+            ).alias("g2"),
+            (F.abs(F.col("n1") - F.col("n2")) <= 2).alias("g3"),
+        )
+    )
+    params, pat = FS.fs_fit(vec, ["g1", "g2", "g3"], rounds=3)
+    lam6 = _math.floor(params.lam * 1e6 + 0.5) / 1e6
+    return pat.withColumn("lambda_", F.lit(lam6))
+
+
+def _fs_sql(rounds: int = 3) -> str:
+    """Unrolled EM mirroring fellegi_sunter.fs_em exactly (nano-unit frozen
+    posteriors -> all cross-pattern sums are exact int64)."""
+    def prod(which: str) -> str:
+        return " * ".join(
+            f"(case when g{k} then {which}{k} else 1.0::double - {which}{k} end)"
+            for k in (1, 2, 3)
+        )
+
+    parts = [
+        _er_pairs_cte(ER_BLOCKING),
+        f"""sizes as (select conv_id, count(*)::bigint as nt from doc_toks group by conv_id),
+inter as (
+    select p.id1, p.id2, count(*)::bigint as ni
+    from cand_pairs p
+    join doc_toks t1 on t1.conv_id = p.id1
+    join doc_toks t2 on t2.conv_id = p.id2 and t2.token = t1.token
+    group by p.id1, p.id2
+),
+vec as (
+    select (c1.pfx = c2.pfx) as g1,
+           (2 * coalesce(i.ni, 0) >= s1.nt + s2.nt - coalesce(i.ni, 0)) as g2,
+           (abs(s1.nt - s2.nt) <= 2) as g3
+    from cand_pairs p
+    join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c1 on p.id1 = c1.conv_id
+    join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c2 on p.id2 = c2.conv_id
+    join sizes s1 on s1.conv_id = p.id1
+    join sizes s2 on s2.conv_id = p.id2
+    left join inter i on i.id1 = p.id1 and i.id2 = p.id2
+),
+pat as (select g1, g2, g3, count(*)::bigint as n from vec group by 1, 2, 3),
+p0 as (select 0.1::double as lam,
+              0.9::double as m1, 0.9::double as m2, 0.9::double as m3,
+              0.1::double as u1, 0.1::double as u2, 0.1::double as u3)""",
+    ]
+    for r in range(1, rounds + 2):  # rounds M-step updates + 1 final E-step
+        parts.append(
+            f"""w{r} as (
+    select g1, g2, g3, n, mp, up,
+           cast(floor((lam * mp) / ((lam * mp) + ((1.0::double - lam) * up))
+                      * 1000000000.0::double + 0.5::double) as bigint) as wq
+    from (select g1, g2, g3, n, lam,
+                 {prod('m')} as mp,
+                 {prod('u')} as up
+          from pat cross join p{r - 1}))"""
+        )
+        if r <= rounds:
+            ms = ",\n           ".join(
+                f"sum(case when g{k} then n * wq else 0 end)::double"
+                f" / sum(n * wq)::double as m{k}" for k in (1, 2, 3)
+            )
+            us = ",\n           ".join(
+                f"sum(case when g{k} then n * (1000000000 - wq) else 0 end)::double"
+                f" / sum(n * (1000000000 - wq))::double as u{k}" for k in (1, 2, 3)
+            )
+            parts.append(
+                f"""p{r} as (
+    select sum(n * wq)::double / (sum(n)::double * 1000000000.0::double) as lam,
+           {ms},
+           {us}
+    from w{r})"""
+            )
+    body = ",\n".join(parts)
+    return (
+        "with "
+        + body
+        + f"""
+select g1, g2, g3, n as n_pairs,
+       cast(floor(wq / 1000.0 + 0.5) as bigint) / 1000000.0 as p_match,
+       round(log2(mp / up), 6) as match_weight,
+       (select cast(floor(lam * 1000000.0 + 0.5) as bigint) / 1000000.0
+        from p{rounds}) as lambda_
+from w{rounds + 1}"""
+    )
+
+
+SQL_ER_FS = _fs_sql()
+
+QUERIES["er_fs"] = q_er_fs
+ORACLES["er_fs"] = SQL_ER_FS
