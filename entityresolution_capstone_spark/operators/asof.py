@@ -73,3 +73,46 @@ def asof_join_backward(
         F.col(f"_asof.{prefix}{c}").alias(f"{prefix}{c}") for c in payload_cols
     ]
     return carried.filter(F.col("_lrow_marker").isNotNull()).select(*out_cols)
+
+
+def gap_fill(
+    series: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    step: str = "interval 1 hour",
+) -> DataFrame:
+    """Densify a per-key time series onto a fixed-step grid, filling gaps by
+    carrying the last observation forward (LOCF).
+
+    Input: one row per (key, bucket_ts) that was observed. Output: one row per
+    (key, grid_ts) for every step between the key's first and last
+    observation, with ``value_cols`` carried forward across gaps and a
+    ``filled`` flag marking synthesized rows.
+
+    Plan: per-key span aggregate (tiny) -> ``sequence()`` explode builds the
+    grid -> one left join back onto observations (shuffle on (key, ts)) ->
+    ONE window pass per key for the LOCF. No driver-side loop, no UDF; gap
+    length is bounded by the span, and the first grid row per key is always
+    observed, so the carry never reads null. The derived-column pattern is
+    the same shape Structured Streaming would use with
+    ``applyInPandasWithState``; for batch it is pure window algebra.
+    """
+    spans = series.groupBy(key_col).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    grid = spans.select(
+        key_col, F.explode(F.expr(f"sequence(_lo, _hi, {step})")).alias(ts_col)
+    )
+    joined = grid.join(series, [key_col, ts_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        ts_col,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.col(value_cols[0]).isNull().alias("filled"),
+    )

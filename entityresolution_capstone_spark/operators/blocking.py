@@ -186,6 +186,7 @@ def candidate_pairs(
     blocks: DataFrame,
     cfg: BlockingConfig | None = None,
     shuffle_partitions: int | None = None,
+    with_weight: bool = False,
 ) -> DataFrame:
     """Self-join blocks on block_key -> distinct unordered pairs (id1 < id2).
 
@@ -266,7 +267,19 @@ def candidate_pairs(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.filter(_first_key_match(F.col("p1"), F.col("p2"))).select("id1", "id2")
+    out = out.filter(_first_key_match(F.col("p1"), F.col("p2")))
+    if with_weight:
+        # CBS (common-blocks scheme) edge weight for meta-blocking: both key
+        # arrays already ride the pair row, so the weight is a per-row
+        # expression — no extra pair-set shuffle.
+        return out.select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect(F.col("p1")["keys"], F.col("p2")["keys"]))
+            .cast("long")
+            .alias("weight"),
+        )
+    return out.select("id1", "id2")
 
 
 def _first_key_match(p1, p2):
@@ -405,4 +418,57 @@ def sorted_neighborhood_pairs(
             F.least("_ida", "_idb").alias("id1"),
             F.greatest("_ida", "_idb").alias("id2"),
         )
+    )
+
+
+def metablock_pairs(
+    blocks: DataFrame,
+    cfg: BlockingConfig | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Meta-blocking: prune the blocking graph by edge weight (Papadakis et
+    al., "Meta-Blocking: Taking Entity Resolution to the Next Level", TKDE'14).
+
+    Edges are co-blocked pairs, weighted by the common-blocks scheme (CBS =
+    number of kept blocks the two records share). Weighted node pruning (WNP)
+    keeps an edge iff its weight reaches the local average edge weight of at
+    least one endpoint — redundancy-positioned blocking (overlapping MinHash
+    bands / token keys) turns into a precision filter without any similarity
+    computation.
+
+    Scale shape: the weight is a per-row expression on the pair stream (key
+    arrays already ride along in :func:`candidate_pairs` — no pair-set
+    groupBy); node thresholds are a node-cardinality aggregation (orders of
+    magnitude below pair cardinality) joined back by id. The survive test is
+    pure integer arithmetic (``w * cnt >= sum``) — no double division, so the
+    DuckDB oracle replays it bit-exactly.
+
+    Returns (id1, id2, weight) for surviving edges.
+
+    Parity anchor: the reference has no meta-blocking (its canopy blocking is
+    driver-side, core/blocker.py); this extends the blocking surface the way
+    a 10^12-turn deployment needs — pair budget cut before scoring.
+    """
+    pw = candidate_pairs(blocks, cfg, shuffle_partitions, with_weight=True)
+    pw = pw.persist()
+    ends = pw.select(F.col("id1").alias("id"), "weight").unionByName(
+        pw.select(F.col("id2").alias("id"), "weight")
+    )
+    node = ends.groupBy("id").agg(
+        F.sum("weight").alias("_sw"), F.count("*").alias("_cnt")
+    )
+    n1 = node.select(
+        F.col("id").alias("id1"), F.col("_sw").alias("_sw1"), F.col("_cnt").alias("_c1")
+    )
+    n2 = node.select(
+        F.col("id").alias("id2"), F.col("_sw").alias("_sw2"), F.col("_cnt").alias("_c2")
+    )
+    return (
+        pw.join(n1, "id1")
+        .join(n2, "id2")
+        .filter(
+            (F.col("weight") * F.col("_c1") >= F.col("_sw1"))
+            | (F.col("weight") * F.col("_c2") >= F.col("_sw2"))
+        )
+        .select("id1", "id2", "weight")
     )

@@ -875,3 +875,196 @@ def semantic_duplicates(
         F.col("_w.id2").alias("kept_id"),
         F.col("_w.cos").alias("cosine"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 11,
+    hash_expr=None,
+) -> DataFrame:
+    """Temperature-based domain re-balancing: input rows + (n_domain,
+    keep_frac, kept).
+
+    The data-mixing step of multi-source pre-training corpora (cf. the
+    multilingual sampling rule of Conneau & Lample 2019, q_d ∝ n_d^alpha):
+    target per-domain counts m_d ∝ n_d^alpha with the largest feasible
+    constant, i.e. ``keep_frac_d = (n_min / n_d)^(1-alpha)`` — the smallest
+    domain is kept whole, head domains are downsampled toward the tail, and
+    alpha=1 degenerates to keep-everything. Keep decisions hash the KEY (not
+    random()), so the sample is stable under reordering, repartitioning, and
+    corpus growth, and raising alpha strictly grows the kept set.
+
+    Scale shape: one domain-cardinality aggregate broadcast back onto the
+    rows (domains ≪ rows); the decision itself is a projection — no
+    per-row shuffle. Exactly replayable in SQL: ``^(1-alpha)`` with
+    alpha=0.5 is IEEE sqrt (exactly rounded in both engines), and the
+    keep test compares the integer key hash against keep_frac·10^6.
+    """
+    denom = 1_000_000
+    h = (
+        hash_expr(F.col(key_col))
+        if hash_expr is not None
+        else F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(denom))
+    )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_domain"))
+    n_min = counts.agg(F.min("n_domain").alias("_mn"))
+    sized = df.join(F.broadcast(counts), domain_col).crossJoin(F.broadcast(n_min))
+    ratio = F.col("_mn").cast("double") / F.col("n_domain").cast("double")
+    # alpha=0.5 -> IEEE sqrt: exactly rounded in every engine (pow(x, 0.5) is
+    # NOT), so the keep decision is bit-identical to the SQL oracle
+    frac = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    return sized.select(
+        *df.columns,
+        F.col("n_domain").cast("long").alias("n_domain"),
+        F.round(frac, 6).alias("keep_frac"),
+        (h < frac * denom).alias("kept"),
+    )
+
+
+def prefix_jaccard_join(
+    documents: DataFrame,
+    threshold_num: int = 600_000,
+    threshold_denom: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-threshold set-similarity self-join via prefix filtering (the
+    PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): returns
+    ALL pairs with token-set Jaccard >= t, with no approximation.
+
+    The complement to MinHash dedup: LSH is probabilistic (misses pairs near
+    the threshold), prefix filtering is exact — every qualifying pair shares
+    at least one token in its rarity-ordered prefix of length
+    ``|x| - ceil(t·|x|) + 1``, so the candidate join touches only prefix
+    tokens (rare by construction: the global order ranks rare tokens first,
+    and hot tokens fall outside most prefixes).
+
+    Exactness discipline: the threshold is the RATIONAL t = num/denom; both
+    the length filter (``t·|x| <= |y|``) and the verify
+    (``inter·denom >= num·union``) are pure int64 comparisons — no doubles
+    anywhere in a decision. Output jaccard is one final rounded division.
+
+    Scale shape: one dictionary build (range-partitioned ids, no global
+    sort), one token-cardinality groupBy to sorted id arrays, one equi-join
+    on prefix tokens (dedup'd per-row by the min-common-prefix-token rule —
+    no pair-set distinct), one per-row array-intersect verify. Hot prefix
+    tokens are bounded by the rarity order; residual skew splits under AQE.
+
+    Output: (id1, id2, inter, union, jaccard) for pairs with J >= t.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tokens")
+    ).select("doc_id", F.explode(F.array_distinct("tokens")).alias("token"))
+    dft = toks.groupBy("token").agg(F.count("*").alias("df"))
+    tdict = dense_rank_ids(dft, ["df", "token"], "token_id").select("token", "token_id")
+    ids = (
+        toks.join(F.broadcast(tdict), "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("token_id")).alias("tids"))
+        .filter(F.size("tids") > 0)
+    )
+    n = F.size("tids")
+    # ceil(t*n) in integers: (num*n + denom - 1) div denom
+    ceil_tn = F.expr(
+        f"CAST((({threshold_num} * size(tids) + {threshold_denom} - 1) "
+        f"DIV {threshold_denom}) AS INT)"
+    )
+    pref = ids.select(
+        "doc_id",
+        "tids",
+        n.alias("_n"),
+        F.slice("tids", 1, n - ceil_tn + 1).alias("prefix"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id1"),
+        F.col("tids").alias("t1"),
+        F.col("_n").alias("n1"),
+        F.col("prefix").alias("p1"),
+        F.explode("prefix").alias("ptok"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id2"),
+        F.col("tids").alias("t2"),
+        F.col("_n").alias("n2"),
+        F.col("prefix").alias("p2"),
+        F.explode("prefix").alias("ptok"),
+    )
+    cand = (
+        a.join(b, "ptok")
+        .filter(F.col("id1") < F.col("id2"))
+        # length filter: t·max(n1,n2) <= min(n1,n2), integers only
+        .filter(
+            F.lit(threshold_num) * F.greatest("n1", "n2")
+            <= F.lit(threshold_denom) * F.least("n1", "n2")
+        )
+        # emit each pair once: only under the minimum shared prefix token
+        .filter(F.array_min(F.array_intersect("p1", "p2")) == F.col("ptok"))
+    )
+    inter = F.size(F.array_intersect("t1", "t2"))
+    union = F.col("n1") + F.col("n2") - inter
+    return (
+        cand.select(
+            "id1",
+            "id2",
+            inter.cast("long").alias("inter"),
+            union.cast("long").alias("union"),
+        )
+        .filter(
+            F.col("inter") * F.lit(threshold_denom)
+            >= F.lit(threshold_num) * F.col("union")
+        )
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union"), 6))
+    )
+
+
+def minhash_jaccard_error(
+    docs: DataFrame, token_dict: DataFrame, cfg: MinHashConfig
+) -> DataFrame:
+    """Estimator audit for MinHash dedup: per candidate pair, the signature
+    Jaccard estimate (matching mins / total hashes) next to the EXACT
+    distinct-token Jaccard, plus the absolute error.
+
+    "Measure, don't guess": this is how a deployment picks (rows, bands) —
+    run the audit on a sample, look at the error at the threshold, THEN size
+    the signature. Candidates come from the same first-band-match enumeration
+    as the dedup path; signatures ride the pair rows as arrays, so the
+    estimate is a per-row zip_with — no extra shuffle beyond the two
+    feature joins.
+
+    Output: (id1, id2, est, jaccard, abs_err), doubles rounded 6dp.
+    """
+    n_hashes = cfg.rows * cfg.bands
+    params = _hash_params(n_hashes, cfg.seed)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("token")
+    ).join(F.broadcast(token_dict), "token")
+    mins = [
+        F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = toks.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+    pairs = minhash_candidate_pairs(docs, token_dict, cfg)
+    t = docs.select("doc_id", F.array_distinct("tokens").alias("_t"))
+    j = (
+        pairs.join(sig.select(F.col("doc_id").alias("id1"), F.col("sig").alias("s1")), "id1")
+        .join(sig.select(F.col("doc_id").alias("id2"), F.col("sig").alias("s2")), "id2")
+        .join(t.select(F.col("doc_id").alias("id1"), F.col("_t").alias("_t1")), "id1")
+        .join(t.select(F.col("doc_id").alias("id2"), F.col("_t").alias("_t2")), "id2")
+    )
+    matches = F.size(F.filter(F.zip_with("s1", "s2", lambda x, y: x == y), lambda v: v))
+    inter = F.size(F.array_intersect("_t1", "_t2"))
+    union = F.size("_t1") + F.size("_t2") - inter
+    est = F.round(matches / F.lit(float(n_hashes)), 6)
+    true_j = F.round(inter / union, 6)
+    return j.select(
+        "id1",
+        "id2",
+        est.alias("est"),
+        true_j.alias("jaccard"),
+        F.round(F.abs(est - true_j), 6).alias("abs_err"),
+    )

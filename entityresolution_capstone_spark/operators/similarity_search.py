@@ -325,3 +325,50 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def random_project(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims, exploded
+    as (id, out_dim, value) rows.
+
+    The dimensionality-reduction front-end for embedding dedup / ANN at 100 TB
+    (project 1024-dim vectors to 8-32 dims before bucketing; JL preserves
+    pairwise distances within 1±eps). The projection matrix is the same
+    deterministic integer family as the LSH planes (:func:`_plane_coeff`,
+    coefficients in [-8, 8] from pure index algebra), and inputs are
+    fixed-point quantized (x -> floor(1000·x + 0.5)), so every y_j is an
+    EXACT int64 sum — order-independent, bit-identical in the SQL oracle —
+    with one final double division undoing the scale.
+
+    Pure per-row Column algebra (transform + aggregate inside codegen): no
+    shuffle, no UDF, no driver-side matrix.
+    """
+    q = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * IVF_QUANT + F.lit(0.5)).cast("long"),
+        ).alias("qe"),
+    )
+    def _term(j: int):
+        # closure (not a default arg: PySpark inspects lambda arity)
+        return lambda x, i: x * ((F.lit(j * 131) + i * 137 + 41) % 17 - 8).cast("long")
+
+    comps = []
+    for j in range(out_dim):
+        y = F.aggregate(
+            F.transform("qe", _term(j)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        comps.append(F.struct(F.lit(j).cast("long").alias("out_dim"), y.alias("y")))
+    return q.select("id", F.explode(F.array(*comps)).alias("c")).select(
+        F.col("id"),
+        F.col("c.out_dim").alias("out_dim"),
+        F.round(F.col("c.y") / F.lit(float(IVF_QUANT)), 6).alias("value"),
+    )

@@ -526,3 +526,96 @@ def pack_documents(
         F.floor(prior / F.lit(int(token_budget))).cast("long").alias("seq_id"),
         "n_tokens",
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a window
+    of ``w`` gram hashes, select the minimum of each window (ties -> rightmost
+    occurrence), and emit the distinct selected (position, hash) pairs.
+    Guarantees every shared substring of >= w+k-1 tokens yields at least one
+    shared fingerprint — the standard local-sampling alternative to keeping
+    all grams, at ~2/(w+1) of the volume.
+
+    Exactly replayable in SQL: gram hash = Σ_j token_id(p+j)·((j+1)·M mod P)
+    mod P over the (df, token) row_number dictionary; the rightmost-min rule
+    packs (hash, position) into ONE int64 — ``hash·2^31 + (2^31-1-pos)`` — so
+    a plain window ``min`` implements it in both engines with no arg_min
+    variance.
+
+    Scale shape: one explode (k rows per token) -> one groupBy (doc, gram
+    start) -> one per-doc ordered window -> distinct on the ~2/(w+1)-sampled
+    selection. No global sort; the dictionary uses range-partitioned ids.
+    Output: (doc_id, pos, gram_hash), both long.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("tokens")
+    )
+    dft = (
+        docs.select(F.explode(F.array_distinct("tokens")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    tdict = dense_rank_ids(dft, ["df", "token"], "token_id").select("token", "token_id")
+    pos = (
+        docs.select(
+            "doc_id", F.size("tokens").alias("_n"), F.posexplode("tokens").alias("pos", "token")
+        )
+        .join(F.broadcast(tdict), "token")
+    )
+    # each token at position p contributes to gram starts p-j, j in [0, k)
+    contrib = pos.select(
+        "doc_id",
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
+        "pos",
+        "token_id",
+    ).select(
+        "doc_id",
+        "_n",
+        (F.col("pos") - F.col("_j")).alias("start"),
+        (
+            F.col("token_id")
+            * ((F.col("_j") + 1).cast("long") * F.lit(POS_MULT) % F.lit(MERSENNE_P))
+            % F.lit(MERSENNE_P)
+        ).alias("_term"),
+    ).filter((F.col("start") >= 0) & (F.col("start") <= F.col("_n") - k))
+    grams = contrib.groupBy("doc_id", "start").agg(
+        (F.sum("_term") % F.lit(MERSENNE_P)).alias("gram_hash"),
+        F.max(F.col("_n")).alias("_n"),
+    )
+    # pack (hash asc, pos desc) into one int64: min == rightmost minimal hash
+    packed = grams.select(
+        "doc_id",
+        "start",
+        "_n",
+        (
+            F.col("gram_hash") * F.lit(2147483648)
+            + (F.lit(2147483647) - F.col("start"))
+        ).alias("_packed"),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id").orderBy("start").rowsBetween(0, w - 1)
+    )
+    sel = packed.select(
+        "doc_id",
+        "start",
+        "_n",
+        F.min("_packed").over(win).alias("_m"),
+    ).filter(F.col("start") <= F.col("_n") - k - w + 1)
+    return sel.select(
+        "doc_id",
+        (F.lit(2147483647) - F.col("_m") % F.lit(2147483648)).cast("long").alias("pos"),
+        # integer div, NOT `/` (double division loses precision at 2^62)
+        F.expr("CAST(_m DIV 2147483648 AS BIGINT)").alias("gram_hash"),
+    ).distinct()

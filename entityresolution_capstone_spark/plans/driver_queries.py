@@ -3393,3 +3393,566 @@ SQL_ER_FS = _fs_sql()
 
 QUERIES["er_fs"] = q_er_fs
 ORACLES["er_fs"] = SQL_ER_FS
+
+
+# ---------------------------------------------------------------------------
+# meta-blocking: weighted node pruning over the blocking graph
+# (Papadakis et al. TKDE'14 — precision filter before any similarity scoring)
+# ---------------------------------------------------------------------------
+
+def q_er_metablocking(spark, sf_dir):
+    """WNP meta-blocking over the MinHash blocking graph: edge weight = number
+    of shared kept blocks (CBS); an edge survives iff its weight reaches the
+    local average of at least one endpoint (integer test w*cnt >= sum — no
+    double division, bit-exact vs the oracle)."""
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    return B.metablock_pairs(blocks, ER_BLOCKING)
+
+
+SQL_ER_METABLOCKING = (
+    "with "
+    + _er_pairs_cte(ER_BLOCKING)
+    + """,
+pairs_w as (
+    select a.conv_id as id1, b.conv_id as id2, count(*) as weight
+    from kept a join kept b using (block_key)
+    where a.conv_id < b.conv_id
+    group by 1, 2
+),
+node as (
+    select id, sum(weight) as sw, count(*) as cnt from (
+        select id1 as id, weight from pairs_w
+        union all
+        select id2 as id, weight from pairs_w
+    ) group by id
+)
+select p.id1, p.id2, cast(p.weight as bigint) as weight
+from pairs_w p
+join node n1 on p.id1 = n1.id
+join node n2 on p.id2 = n2.id
+where p.weight * n1.cnt >= n1.sw or p.weight * n2.cnt >= n2.sw"""
+)
+
+QUERIES["er_metablocking"] = q_er_metablocking
+ORACLES["er_metablocking"] = SQL_ER_METABLOCKING
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS local sampling of k-gram hashes)
+# ---------------------------------------------------------------------------
+
+_WN_K = 4
+_WN_W = 5
+_PACK = 2147483648  # 2^31: pack (hash, pos) into one int64 for rightmost-min
+
+
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing fingerprints (textstats.winnow_fingerprints): k=4-token-gram
+    dictionary hashes, window w=5 rightmost-minimum selection — guarantees a
+    shared fingerprint for any shared run of >= w+k-1 tokens at ~2/(w+1) of
+    the gram volume."""
+    return TS.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=_WN_K, w=_WN_W
+    ).withColumn("doc_id", F.col("doc_id").cast("long"))
+
+
+SQL_FINGERPRINT_WINNOW = f"""
+with toks as (select doc_id, {TOK} as t from documents),
+pos as (
+    select doc_id, len(t) as n,
+           generate_subscripts(t, 1) - 1 as p,
+           unnest(t) as token
+    from toks
+),
+df_table as (
+    select token, count(*) as df
+    from (select distinct doc_id, token from pos) group by token
+),
+token_dict as (
+    select token, row_number() over (order by df, token) as token_id from df_table
+),
+contrib as (
+    select doc_id, n, p - j.j as start,
+           token_id * ((j.j + 1) * {TS.POS_MULT} % {MERSENNE_P}) % {MERSENNE_P} as term
+    from pos join token_dict using (token),
+         lateral (select unnest(range({_WN_K})) as j) j
+    where p - j.j >= 0 and p - j.j <= n - {_WN_K}
+),
+grams as (
+    select doc_id, start, sum(term) % {MERSENNE_P} as gram_hash, max(n) as n
+    from contrib group by doc_id, start
+),
+packed as (
+    select doc_id, start, n,
+           gram_hash * {_PACK} + ({_PACK} - 1 - start) as pk
+    from grams
+),
+sel as (
+    select doc_id, n, start,
+           min(pk) over (partition by doc_id order by start
+                         rows between current row and {_WN_W - 1} following) as m
+    from packed
+)
+select distinct cast(doc_id as bigint) as doc_id,
+       cast({_PACK} - 1 - m % {_PACK} as bigint) as pos,
+       cast(m // {_PACK} as bigint) as gram_hash
+from sel where start <= n - {_WN_K} - {_WN_W} + 1"""
+
+QUERIES["fingerprint_winnow"] = q_fingerprint_winnow
+ORACLES["fingerprint_winnow"] = SQL_FINGERPRINT_WINNOW
+
+
+# ---------------------------------------------------------------------------
+# Soundex phonetic blocking keys (classic census-style name blocking)
+# ---------------------------------------------------------------------------
+
+def q_er_phonetic(spark, sf_dir):
+    """Soundex codes (functions.phonetic) over letter-names derived from the
+    customer table: the digit tail of c_name transliterated onto an alphabet
+    that includes vowels AND the H/W-transparent letters, so the collapse,
+    transparency, and padding rules are all exercised by real rows."""
+    from ..functions.phonetic import soundex_code
+
+    cust = load(spark, sf_dir, "customer")
+    raw = F.translate(F.substring("c_name", 10, 9), "0123456789", "ahwbecdrft")
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        raw.alias("name"),
+        soundex_code(raw).alias("soundex"),
+    )
+
+
+def _phonetic_sql() -> str:
+    from ..functions.phonetic import soundex_sql
+
+    return f"""
+with named as (
+    select c_custkey,
+           translate(substr(c_name, 10, 9), '0123456789', 'ahwbecdrft') as name
+    from customer
+)
+select cast(c_custkey as bigint) as c_custkey,
+       name,
+       {soundex_sql('name')} as soundex
+from named"""
+
+
+SQL_ER_PHONETIC = _phonetic_sql()
+
+QUERIES["er_phonetic"] = q_er_phonetic
+ORACLES["er_phonetic"] = SQL_ER_PHONETIC
+
+
+# ---------------------------------------------------------------------------
+# temperature-based domain mixing (corpus re-balancing before training)
+# ---------------------------------------------------------------------------
+
+_MIX_CASE_SQL = (
+    "case when m < 1 then 'd0' when m < 3 then 'd1' when m < 7 then 'd2' "
+    "when m < 15 then 'd3' when m < 31 then 'd4' when m < 63 then 'd5' "
+    "else 'd6' end"
+)
+
+
+def q_doc_mix(spark, sf_dir):
+    """Temperature sampling (dedup.temperature_sample, alpha=0.5) over
+    synthetic domains with a power-of-two size ladder (1:2:4:...:64), so head
+    domains are strongly downsampled and the tail domain is kept whole. The
+    alpha=0.5 keep fraction is sqrt(n_min/n_d) — IEEE-exact in both engines —
+    and decisions hash doc_id with the Knuth multiplicative family."""
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 127
+    domain = (
+        F.when(m < 1, "d0").when(m < 3, "d1").when(m < 7, "d2")
+        .when(m < 15, "d3").when(m < 31, "d4").when(m < 63, "d5")
+        .otherwise("d6")
+    )
+    dom = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), domain.alias("domain")
+    )
+    h = lambda c: F.pmod(c.cast("long") * F.lit(SPLIT_MULT), F.lit(SPLIT_DENOM))  # noqa: E731
+    return D.temperature_sample(
+        dom, "domain", key_col="doc_id", alpha=0.5, hash_expr=h
+    )
+
+
+SQL_DOC_MIX = f"""
+with dom as (
+    select cast(doc_id as bigint) as doc_id, {_MIX_CASE_SQL} as domain
+    from (select doc_id, doc_id % 127 as m from documents)
+),
+cnt as (select domain, count(*) as n_domain from dom group by domain),
+mn as (select min(n_domain) as mn from cnt)
+select d.doc_id, d.domain,
+       cast(c.n_domain as bigint) as n_domain,
+       round(sqrt(cast(mn as double) / cast(c.n_domain as double)), 6) as keep_frac,
+       (d.doc_id * {SPLIT_MULT}) % {SPLIT_DENOM}
+           < sqrt(cast(mn as double) / cast(c.n_domain as double)) * {SPLIT_DENOM} as kept
+from dom d join cnt c using (domain) cross join mn"""
+
+QUERIES["doc_mix"] = q_doc_mix
+ORACLES["doc_mix"] = SQL_DOC_MIX
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (embedding dimensionality reduction, exploded rows)
+# ---------------------------------------------------------------------------
+
+_RP_K = 8
+
+
+def q_emb_project(spark, sf_dir):
+    """Integer-exact JL random projection (similarity_search.random_project):
+    64 -> 8 dims, deterministic plane-family coefficients, fixed-point int64
+    sums with one final double division."""
+    return S.random_project(
+        load(spark, sf_dir, "embeddings"), out_dim=_RP_K
+    ).withColumnRenamed("id", "vec_id")
+
+
+SQL_EMB_PROJECT = f"""
+with q as (
+    select vec_id,
+           list_transform(embedding,
+                          x -> cast(floor(x * {S.IVF_QUANT} + 0.5) as bigint)) as qe
+    from embeddings
+),
+proj as (
+    select vec_id, j.j as out_dim,
+           sum(qe[i.i + 1] * ((j.j * 131 + i.i * 137 + 41) % 17 - 8)) as y
+    from q,
+         lateral (select unnest(range({_RP_K})) as j) j,
+         lateral (select unnest(range(len(qe))) as i) i
+    group by vec_id, j.j
+)
+select cast(vec_id as bigint) as vec_id,
+       cast(out_dim as bigint) as out_dim,
+       round(y / {S.IVF_QUANT}.0, 6) as value
+from proj"""
+
+QUERIES["emb_project"] = q_emb_project
+ORACLES["emb_project"] = SQL_EMB_PROJECT
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill (dense hourly grid + last-observation-carried-forward)
+# ---------------------------------------------------------------------------
+
+def q_events_gapfill(spark, sf_dir):
+    """Hourly per-user series densified onto the full grid between each
+    user's first and last hour (asof.gap_fill): missing hours synthesized
+    with LOCF'd count/sum and flagged. Sums run in integer micro-units so
+    both engines carry identical doubles."""
+    from ..operators.asof import gap_fill
+
+    ev = load(spark, sf_dir, "events")
+    vmicro = F.round(F.col("value") * 1_000_000).cast("long")
+    obs = ev.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(vmicro) / F.lit(1_000_000.0), 6).alias("vsum"),
+    )
+    out = gap_fill(obs, "user_id", "h", ["n", "vsum"])
+    return out.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "n",
+        "vsum",
+        "filled",
+    )
+
+
+SQL_EVENTS_GAPFILL = """
+with obs as (
+    select cast(user_id as bigint) as user_id,
+           date_trunc('hour', ts) as h,
+           cast(count(*) as bigint) as n,
+           round(sum(cast(round(value * 1000000) as bigint)) / 1000000.0, 6) as vsum
+    from events group by 1, 2
+),
+spans as (select user_id, min(h) as lo, max(h) as hi from obs group by 1),
+grid as (
+    select user_id, unnest(generate_series(lo, hi, interval 1 hour)) as h
+    from spans
+),
+j as (
+    select g.user_id, g.h, o.n, o.vsum
+    from grid g left join obs o using (user_id, h)
+)
+select user_id,
+       strftime(h, '%Y-%m-%d %H:00:00') as hour,
+       last_value(n ignore nulls) over w as n,
+       last_value(vsum ignore nulls) over w as vsum,
+       (n is null) as filled
+from j
+window w as (partition by user_id order by h
+             rows between unbounded preceding and current row)"""
+
+QUERIES["events_gapfill"] = q_events_gapfill
+ORACLES["events_gapfill"] = SQL_EVENTS_GAPFILL
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering exact-threshold Jaccard self-join (PPJoin family)
+# ---------------------------------------------------------------------------
+
+def q_dedup_prefix(spark, sf_dir):
+    """Exact-threshold set-similarity join (dedup.prefix_jaccard_join,
+    t = 0.6): prefix filtering guarantees completeness, so the oracle is the
+    brute-force all-pairs Jaccard — any divergence means a dropped or
+    phantom pair."""
+    return D.prefix_jaccard_join(
+        load(spark, sf_dir, "documents"),
+        threshold_num=600_000,
+        threshold_denom=1_000_000,
+    ).withColumn("id1", F.col("id1").cast("long")).withColumn(
+        "id2", F.col("id2").cast("long")
+    )
+
+
+SQL_DEDUP_PREFIX = f"""
+with toks as (
+    select cast(doc_id as bigint) as doc_id, list_distinct({TOK}) as t
+    from documents where len({TOK}) > 0
+),
+pairs as (
+    select a.doc_id as id1, b.doc_id as id2,
+           len(list_intersect(a.t, b.t)) as inter,
+           len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) as uni
+    from toks a join toks b on a.doc_id < b.doc_id
+)
+select id1, id2, cast(inter as bigint) as inter, cast(uni as bigint) as "union",
+       round(inter * 1.0 / uni, 6) as jaccard
+from pairs where inter * 1000000 >= 600000 * uni"""
+
+QUERIES["dedup_prefix"] = q_dedup_prefix
+ORACLES["dedup_prefix"] = SQL_DEDUP_PREFIX
+
+
+# ---------------------------------------------------------------------------
+# cluster-size histogram (resolution diagnostics over the full pipeline)
+# ---------------------------------------------------------------------------
+
+def q_er_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram of the end-to-end resolution: size -> number of
+    clusters. The first thing an operator looks at after a 10^12-row resolve
+    (a runaway giant component shows up here before any metric)."""
+    clusters = q_er_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+    )
+
+
+SQL_ER_CLUSTER_SIZES = (
+    "select cast(sz as bigint) as cluster_size, cast(count(*) as bigint) as n_clusters from ("
+    "select cluster_id, count(*) as sz from ("
+    + SQL_ER_CLUSTERS
+    + ") group by cluster_id) group by sz"
+)
+
+QUERIES["er_cluster_sizes"] = q_er_cluster_sizes
+ORACLES["er_cluster_sizes"] = SQL_ER_CLUSTER_SIZES
+
+
+# ---------------------------------------------------------------------------
+# per-domain cap (deterministic reservoir: keep at most K docs per domain)
+# ---------------------------------------------------------------------------
+
+_CAP_K = 10
+
+
+def q_doc_domain_cap(spark, sf_dir):
+    """Hash-ordered per-domain cap: keep the K=10 docs with the smallest
+    Knuth-hash rank in each synthetic domain (same skewed ladder as doc_mix).
+    A deterministic reservoir — stable under reordering, and growth only
+    displaces rows at the boundary. One window per domain, no global sort."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 127
+    domain = (
+        F.when(m < 1, "d0").when(m < 3, "d1").when(m < 7, "d2")
+        .when(m < 15, "d3").when(m < 31, "d4").when(m < 63, "d5")
+        .otherwise("d6")
+    )
+    h = F.pmod(F.col("doc_id").cast("long") * F.lit(SPLIT_MULT), F.lit(SPLIT_DENOM))
+    w = Window.partitionBy("domain").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            domain.alias("domain"),
+            h.alias("h"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _CAP_K)
+        .select("doc_id", "domain", "rank")
+    )
+
+
+SQL_DOC_DOMAIN_CAP = f"""
+with dom as (
+    select cast(doc_id as bigint) as doc_id,
+           {_MIX_CASE_SQL} as domain,
+           (doc_id * {SPLIT_MULT}) % {SPLIT_DENOM} as h
+    from (select doc_id, doc_id % 127 as m from documents)
+)
+select doc_id, domain, cast(rank as bigint) as rank from (
+    select doc_id, domain,
+           row_number() over (partition by domain order by h, doc_id) as rank
+    from dom
+) where rank <= {_CAP_K}"""
+
+QUERIES["doc_domain_cap"] = q_doc_domain_cap
+ORACLES["doc_domain_cap"] = SQL_DOC_DOMAIN_CAP
+
+
+# ---------------------------------------------------------------------------
+# truncated EWMA (decayed running value, alpha = 1/2: exact powers of two)
+# ---------------------------------------------------------------------------
+
+_EWMA_W = 16
+
+
+def q_events_ewma(spark, sf_dir):
+    """Per-user exponentially-decayed running value, truncated to the last
+    W=16 events: y_t = Σ_lag v_(t-lag)·2^(W-1-lag) / Σ_lag 2^(W-1-lag).
+
+    alpha=1/2 makes every weight a power of two, and values enter as integer
+    micro-units, so numerator and denominator are EXACT int64 sums (order-
+    independent, bit-identical in the oracle) with one final division.
+    Shape: row_number per user -> explode each event to the W target indices
+    it decays into -> one groupBy (user, target) — no recursive dependency,
+    unlike the y_t = a·v + (1-a)·y_(t-1) form, which no engine parallelizes.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    idx = F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vmicro"),
+        idx.cast("long").alias("s"),
+    )
+    fan = base.select(
+        "user_id",
+        "s",
+        "vmicro",
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_W - 1))).alias("lag"),
+    ).select(
+        "user_id",
+        (F.col("s") + F.col("lag")).alias("t"),
+        F.expr(f"vmicro * CAST(SHIFTLEFT(1, {_EWMA_W} - 1 - lag) AS BIGINT)").alias("num_term"),
+        F.expr(f"CAST(SHIFTLEFT(1, {_EWMA_W} - 1 - lag) AS BIGINT)").alias("den_term"),
+    )
+    agg = fan.groupBy("user_id", "t").agg(
+        F.sum("num_term").alias("num"), F.sum("den_term").alias("den")
+    )
+    # keep only real event positions (t <= max index per user)
+    tgt = base.select("user_id", F.col("s").alias("t"), "event_id")
+    return tgt.join(agg, ["user_id", "t"]).select(
+        "user_id",
+        F.col("t").alias("event_idx"),
+        "event_id",
+        F.round(F.col("num") / (F.col("den") * F.lit(1_000_000.0)), 6).alias("ewma"),
+    )
+
+
+SQL_EVENTS_EWMA = f"""
+with base as (
+    select cast(user_id as bigint) as user_id,
+           cast(event_id as bigint) as event_id,
+           cast(round(value * 1000000) as bigint) as vmicro,
+           cast(row_number() over (partition by user_id order by ts, event_id) as bigint) as s
+    from events
+),
+fan as (
+    select user_id, s + l.lag as t,
+           vmicro * (1 << ({_EWMA_W} - 1 - l.lag)) as num_term,
+           (1 << ({_EWMA_W} - 1 - l.lag)) as den_term
+    from base, lateral (select unnest(range({_EWMA_W})) as lag) l
+),
+agg as (
+    select user_id, t, sum(num_term) as num, sum(den_term) as den
+    from fan group by user_id, t
+)
+select b.user_id, b.s as event_idx, b.event_id,
+       round(a.num / (a.den * 1000000.0), 6) as ewma
+from base b join agg a on b.user_id = a.user_id and b.s = a.t"""
+
+QUERIES["events_ewma"] = q_events_ewma
+ORACLES["events_ewma"] = SQL_EVENTS_EWMA
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator audit: signature estimate vs exact Jaccard per candidate
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_error(spark, sf_dir):
+    """Signature-vs-truth audit (dedup.minhash_jaccard_error) on the same
+    (rows=2, bands=8) family as dedup_minhash: per candidate pair, the
+    16-hash estimate, the exact token Jaccard, and the absolute error."""
+    docs = D.prepare_docs(load(spark, sf_dir, "documents"))
+    tdict = D.dedup_token_dict(docs)
+    return D.minhash_jaccard_error(docs, tdict, _MH)
+
+
+_MH_N = _MH.rows * _MH.bands
+
+SQL_DEDUP_MINHASH_ERROR = (
+    "with "
+    + _DEDUP_DICT_CTE
+    + f""",
+mins as (
+    select doc_id, i, min((a * token_id + b) % {MERSENNE_P}) as v
+    from tok_ids cross join {_hash_values_sql(_MH_N, _MH.seed)}
+    group by doc_id, i
+),
+buckets as (
+    select doc_id,
+           cast(i // {_MH.rows} as varchar) || '_' ||
+           string_agg(cast(v as varchar), '_' order by i) as bkey
+    from mins group by doc_id, i // {_MH.rows}
+),
+cand as (
+    select distinct a.doc_id as id1, b.doc_id as id2
+    from buckets a join buckets b using (bkey) where a.doc_id < b.doc_id
+),
+est as (
+    select c.id1, c.id2,
+           count(*) filter (where m1.v = m2.v) as n_match
+    from cand c
+    join mins m1 on m1.doc_id = c.id1
+    join mins m2 on m2.doc_id = c.id2 and m2.i = m1.i
+    group by c.id1, c.id2
+),
+sizes as (select doc_id, count(*) as n from doc_toks group by doc_id),
+inter as (
+    select c.id1, c.id2, count(*) as n_inter
+    from cand c
+    join doc_toks t1 on t1.doc_id = c.id1
+    join doc_toks t2 on t2.doc_id = c.id2 and t2.token = t1.token
+    group by c.id1, c.id2
+)
+select c.id1, c.id2,
+       round(e.n_match / {_MH_N}.0, 6) as est,
+       round(coalesce(i.n_inter, 0)::double /
+             (s1.n + s2.n - coalesce(i.n_inter, 0)), 6) as jaccard,
+       round(abs(round(e.n_match / {_MH_N}.0, 6)
+                 - round(coalesce(i.n_inter, 0)::double /
+                         (s1.n + s2.n - coalesce(i.n_inter, 0)), 6)), 6) as abs_err
+from cand c
+join est e on e.id1 = c.id1 and e.id2 = c.id2
+left join inter i on i.id1 = c.id1 and i.id2 = c.id2
+join sizes s1 on s1.doc_id = c.id1
+join sizes s2 on s2.doc_id = c.id2"""
+)
+
+QUERIES["dedup_minhash_error"] = q_dedup_minhash_error
+ORACLES["dedup_minhash_error"] = SQL_DEDUP_MINHASH_ERROR
