@@ -619,3 +619,158 @@ def winnow_fingerprints(
         # integer div, NOT `/` (double division loses precision at 2^62)
         F.expr("CAST(_m DIV 2147483648 AS BIGINT)").alias("gram_hash"),
     ).distinct()
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: split each document where the rolling k-gram
+    hash hits ``hash % divisor == 0`` (expected chunk length ~``divisor``
+    tokens), the shift-robust alternative to fixed windows — insert a token
+    early in a doc and fixed chunks all change, CDC boundaries re-synchronize
+    (the rsync/LBFS trick, Muthitacharoen et al. SOSP'01, applied to token
+    streams for chunk-level dedup).
+
+    Chunk hashes use WITHIN-CHUNK positions, so identical chunk content
+    yields identical hashes wherever it sits in the doc — chunk-level
+    dedup across shifted documents is then a plain hash-groupBy.
+
+    Exactly replayable: gram/chunk hashes are the dictionary polynomial
+    (token_id · (rel_pos·M mod P) summed mod P); boundaries and chunk ids
+    are integer arithmetic + one per-doc cumulative-sum window.
+
+    Output: (doc_id, chunk_id, start_pos, n_tokens, chunk_hash) — all long.
+    """
+    docs = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokenize(F.col(text_col)).alias("tokens")
+    )
+    dft = (
+        docs.select(F.explode(F.array_distinct("tokens")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    tdict = dense_rank_ids(dft, ["df", "token"], "token_id").select("token", "token_id")
+    pos = docs.select(
+        "doc_id", F.size("tokens").alias("_n"), F.posexplode("tokens").alias("pos", "token")
+    ).join(F.broadcast(tdict), "token")
+    # gram hash at start p (p <= n-k): same contrib fan-out as winnowing
+    contrib = pos.select(
+        "doc_id",
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
+        "pos",
+        "token_id",
+    ).select(
+        "doc_id",
+        (F.col("pos") - F.col("_j")).alias("start"),
+        (
+            F.col("token_id")
+            * ((F.col("_j") + 1).cast("long") * F.lit(POS_MULT) % F.lit(MERSENNE_P))
+            % F.lit(MERSENNE_P)
+        ).alias("_term"),
+    ).filter((F.col("start") >= 0) & (F.col("start") <= F.col("_n") - k))
+    grams = contrib.groupBy("doc_id", "start").agg(
+        (F.sum("_term") % F.lit(MERSENNE_P)).alias("_gh")
+    )
+    bounds = grams.select(
+        "doc_id",
+        F.col("start").alias("pos"),
+        ((F.col("_gh") % divisor == 0) & (F.col("start") > 0)).alias("_b"),
+    )
+    from pyspark.sql import Window
+
+    tok_pos = pos.select("doc_id", "pos", "token_id").join(
+        bounds, ["doc_id", "pos"], "left"
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = tok_pos.withColumn(
+        "chunk_id",
+        F.sum(F.coalesce(F.col("_b").cast("int"), F.lit(0))).over(w).cast("long"),
+    )
+    wc = Window.partitionBy("doc_id", "chunk_id")
+    rel = F.col("pos") - F.min("pos").over(wc)
+    hashed = chunked.withColumn(
+        "_h",
+        F.col("token_id")
+        * ((rel + 1).cast("long") * F.lit(POS_MULT) % F.lit(MERSENNE_P))
+        % F.lit(MERSENNE_P),
+    )
+    return hashed.groupBy("doc_id", "chunk_id").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        F.count("*").cast("long").alias("n_tokens"),
+        (F.sum("_h") % F.lit(MERSENNE_P)).cast("long").alias("chunk_hash"),
+    )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_tokens: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed token query —
+    the retrieval scorer for corpus curation (rank docs against a probe
+    query; see Robertson & Zaragoza 2009).
+
+    Cross-engine determinism discipline: every input to each per-(doc, term)
+    score is an exact integer (tf, df, len, N, S) combined in ONE fixed
+    expression tree, so both engines compute identical doubles (division and
+    the final ln are the only rounding points); per-term scores are then
+    floored to integer NANO-units and SUMMED AS INT64 — the sum is
+    order-independent, so groupBy parallelism can't flip a 6dp output.
+
+    Shape: tf join on the (tiny, broadcast) query token set, one df lookup,
+    two corpus scalars — no shuffle beyond the per-doc aggregate.
+    Output: (doc_id, n_hits, bm25).
+    """
+    toks = documents.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokenize(F.col(text_col)).alias("tokens")
+    )
+    stats = toks.select(
+        F.count("*").alias("_N"), F.sum(F.size("tokens")).alias("_S")
+    )
+    lens = toks.select("doc_id", F.size("tokens").cast("long").alias("_len"))
+    q = F.array(*[F.lit(t) for t in query_tokens])
+    occ = toks.select("doc_id", F.explode("tokens").alias("token")).filter(
+        F.array_contains(q, F.col("token"))
+    )
+    tf = occ.groupBy("doc_id", "token").agg(F.count("*").alias("_tf"))
+    dfq = (
+        occ.select("doc_id", "token").distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("_df"))
+    )
+    j = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avglen = F.col("_S").cast("double") / F.col("_N").cast("double")
+    idf = F.log(
+        (F.col("_N") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("_len") / avglen)
+    )
+    term = idf * ((F.col("_tf") * F.lit(k1 + 1.0)) / denom)
+    nano = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+    scored = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.sum(nano) / F.lit(1e9), 6).alias("bm25"),
+    )
+    base = toks.select("doc_id")
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+    )

@@ -3956,3 +3956,221 @@ join sizes s2 on s2.doc_id = c.id2"""
 
 QUERIES["dedup_minhash_error"] = q_dedup_minhash_error
 ORACLES["dedup_minhash_error"] = SQL_DEDUP_MINHASH_ERROR
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (rsync/LBFS boundaries on token streams)
+# ---------------------------------------------------------------------------
+
+_CDC_K = 3
+_CDC_DIV = 16
+
+
+def q_doc_cdc(spark, sf_dir):
+    """CDC chunking (textstats.cdc_chunks): gram-hash boundaries
+    (hash % 16 == 0), within-chunk position hashes so identical chunks hash
+    identically wherever they sit — the shift-robust chunk-dedup front-end."""
+    return TS.cdc_chunks(
+        load(spark, sf_dir, "documents"), k=_CDC_K, divisor=_CDC_DIV
+    )
+
+
+SQL_DOC_CDC = f"""
+with toks as (select cast(doc_id as bigint) as doc_id, {TOK} as t from documents),
+pos as (
+    select doc_id, len(t) as n,
+           generate_subscripts(t, 1) - 1 as p,
+           unnest(t) as token
+    from toks
+),
+df_table as (
+    select token, count(*) as df
+    from (select distinct doc_id, token from pos) group by token
+),
+token_dict as (
+    select token, row_number() over (order by df, token) as token_id from df_table
+),
+tokid as (select doc_id, n, p, token_id from pos join token_dict using (token)),
+contrib as (
+    select doc_id, p - j.j as start,
+           token_id * ((j.j + 1) * {TS.POS_MULT} % {MERSENNE_P}) % {MERSENNE_P} as term
+    from tokid, lateral (select unnest(range({_CDC_K})) as j) j
+    where p - j.j >= 0 and p - j.j <= n - {_CDC_K}
+),
+grams as (select doc_id, start, sum(term) % {MERSENNE_P} as gh from contrib group by doc_id, start),
+bounds as (select doc_id, start as p, (gh % {_CDC_DIV} = 0 and start > 0) as b from grams),
+chunked as (
+    select t.doc_id, t.p, t.token_id,
+           sum(case when coalesce(b.b, false) then 1 else 0 end)
+               over (partition by t.doc_id order by t.p
+                     rows between unbounded preceding and current row) as chunk_id
+    from tokid t left join bounds b on t.doc_id = b.doc_id and t.p = b.p
+),
+rel as (
+    select doc_id, chunk_id, p, token_id,
+           p - min(p) over (partition by doc_id, chunk_id) as r
+    from chunked
+)
+select doc_id, cast(chunk_id as bigint) as chunk_id,
+       cast(min(p) as bigint) as start_pos,
+       cast(count(*) as bigint) as n_tokens,
+       cast(sum(token_id * ((r + 1) * {TS.POS_MULT} % {MERSENNE_P}) % {MERSENNE_P})
+            % {MERSENNE_P} as bigint) as chunk_hash
+from rel group by doc_id, chunk_id"""
+
+QUERIES["doc_cdc"] = q_doc_cdc
+ORACLES["doc_cdc"] = SQL_DOC_CDC
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring against a corpus-derived probe query
+# ---------------------------------------------------------------------------
+
+_BM25_NQ = 4
+
+
+def q_doc_bm25(spark, sf_dir):
+    """Okapi BM25 (textstats.bm25_scores) of every doc against the corpus's
+    top-4 tokens by (df desc, token) — a deterministic probe query both
+    engines derive identically. Per-term doubles come from one fixed integer
+    expression tree; per-doc sums run in exact integer nano-units."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), tokenize(F.col("text")).alias("tokens")
+    )
+    dft = (
+        toks.select("doc_id", F.explode(F.array_distinct("tokens")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    top = [
+        r["token"]
+        for r in dft.orderBy(F.desc("df"), F.asc("token")).limit(_BM25_NQ).collect()
+    ]
+    return TS.bm25_scores(docs, top)
+
+
+SQL_DOC_BM25 = f"""
+with toks as (select cast(doc_id as bigint) as doc_id, {TOK} as t from documents),
+stats as (select count(*) as N, sum(len(t)) as S from toks),
+lens as (select doc_id, cast(len(t) as bigint) as length from toks),
+alltok as (select doc_id, unnest(t) as token from toks),
+df_all as (
+    select token, count(distinct doc_id) as df from alltok group by token
+),
+qtok as (select token from df_all order by df desc, token limit {_BM25_NQ}),
+occ as (select a.doc_id, a.token from alltok a join qtok using (token)),
+tf as (select doc_id, token, count(*) as tf from occ group by doc_id, token),
+dfq as (select token, count(distinct doc_id) as df from occ group by token),
+terms as (
+    select t.doc_id,
+           cast(floor(
+               ln((s.N - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (l.length / (cast(s.S as double) / cast(s.N as double))))))
+               * 1000000000.0 + 0.5) as bigint) as nano
+    from tf t
+    join dfq d using (token)
+    join lens l using (doc_id)
+    cross join stats s
+),
+scored as (
+    select doc_id, cast(count(*) as bigint) as n_hits,
+           round(sum(nano) / 1000000000.0, 6) as bm25
+    from terms group by doc_id
+)
+select t.doc_id,
+       coalesce(s.n_hits, 0) as n_hits,
+       coalesce(s.bm25, 0.0) as bm25
+from toks t left join scored s using (doc_id)"""
+
+QUERIES["doc_bm25"] = q_doc_bm25
+ORACLES["doc_bm25"] = SQL_DOC_BM25
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel analysis (view -> click -> purchase, strictly sequenced)
+# ---------------------------------------------------------------------------
+
+def q_events_funnel(spark, sf_dir):
+    """Per-user ordered funnel: first view, first click AT OR AFTER that
+    view, first purchase at or after that click — the sequencing makes it a
+    funnel rather than three independent mins. Three bounded aggregates +
+    joins (each stage's table is per-user, ≪ events); outputs epoch-micros
+    longs so both engines hash identical integers."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("v_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    base = ev.select("user_id").distinct()
+    out = base.join(v, "user_id", "left").join(c, "user_id", "left").join(p, "user_id", "left")
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("c_ts").isNotNull(), 2)
+        .when(F.col("v_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    # ts is TIMESTAMP_NTZ; session tz is pinned to UTC (session.py), so the
+    # cast-to-timestamp epoch equals DuckDB's epoch_us on the naive value
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "user_id",
+        stage.cast("long").alias("stage"),
+        us("v_ts").alias("v_us"),
+        us("c_ts").alias("c_us"),
+        us("p_ts").alias("p_us"),
+        (us("c_ts") - us("v_ts")).alias("v2c_us"),
+        (us("p_ts") - us("c_ts")).alias("c2p_us"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+with v as (
+    select user_id, min(ts) as v_ts from events
+    where event_type = 'view' group by user_id
+),
+c as (
+    select e.user_id, min(e.ts) as c_ts
+    from events e join v using (user_id)
+    where e.event_type = 'click' and e.ts >= v.v_ts
+    group by e.user_id
+),
+p as (
+    select e.user_id, min(e.ts) as p_ts
+    from events e join c using (user_id)
+    where e.event_type = 'purchase' and e.ts >= c.c_ts
+    group by e.user_id
+),
+u as (select distinct user_id from events)
+select cast(u.user_id as bigint) as user_id,
+       cast(case when p.p_ts is not null then 3
+                 when c.c_ts is not null then 2
+                 when v.v_ts is not null then 1
+                 else 0 end as bigint) as stage,
+       epoch_us(v.v_ts) as v_us,
+       epoch_us(c.c_ts) as c_us,
+       epoch_us(p.p_ts) as p_us,
+       epoch_us(c.c_ts) - epoch_us(v.v_ts) as v2c_us,
+       epoch_us(p.p_ts) - epoch_us(c.c_ts) as c2p_us
+from u
+left join v using (user_id)
+left join c using (user_id)
+left join p using (user_id)"""
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLES["events_funnel"] = SQL_EVENTS_FUNNEL
