@@ -978,20 +978,26 @@ def prefix_jaccard_join(
         n.alias("_n"),
         F.slice("tids", 1, n - ceil_tn + 1).alias("prefix"),
     )
+    # pin the join-input partitioning: prefix-token rows are small but the
+    # self-join output is quadratic per token, and AQE coalesces exchanges by
+    # INPUT size — unpinned, the whole pair stream can fold onto 1-2 cores
+    # (same hazard measured on bucket_pairs: 107s -> 32s at sf0.1). Residual
+    # hot-token imbalance splits under AQE skew-join on the shuffled join.
+    n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = pref.select(
         F.col("doc_id").alias("id1"),
         F.col("tids").alias("t1"),
         F.col("_n").alias("n1"),
         F.col("prefix").alias("p1"),
         F.explode("prefix").alias("ptok"),
-    )
+    ).repartition(n_part, "ptok")
     b = pref.select(
         F.col("doc_id").alias("id2"),
         F.col("tids").alias("t2"),
         F.col("_n").alias("n2"),
         F.col("prefix").alias("p2"),
         F.explode("prefix").alias("ptok"),
-    )
+    ).repartition(n_part, "ptok")
     cand = (
         a.join(b, "ptok")
         .filter(F.col("id1") < F.col("id2"))
