@@ -3,7 +3,8 @@
 ``entry(spark)`` runs the flagship entity-resolution pipeline on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-data-pipeline operators; ``oracle_sql()`` gives DuckDB-equivalent SQL
-for each (except the documented non-SQL-expressible kernels).
+for EVERY query (iterate-to-fixpoint loops included, via fixed-depth round
+unrolling — no rows-only entries remain).
 
 Implementation lives in entityresolution_capstone_spark/plans/driver_queries.py.
 """

@@ -17,9 +17,10 @@ Design rules that make the oracle comparison exact:
   use DuckDB's builtin (its matching variant diverges from the reference's
   py_stringmatching semantics) — instead the greedy matcher itself is
   re-implemented as a recursive CTE (SQL_ER_PAIRS_JW), bit-exact vs the
-  kernel. Every metric — including AMI's hypergeometric expected-mutual-
-  information term — has an exact DuckDB oracle except er_iterative
-  (iterate-to-fixpoint is not ANSI-SQL-expressible; rows-only by design).
+  kernel. EVERY query has an exact DuckDB oracle — including AMI's
+  hypergeometric expected-mutual-information term and the er_iterative
+  merge loop (fixed-depth round unrolling: a no-merge round is a fixpoint
+  in both engines, so unrolling max_rounds reproduces the early-exit loop).
 """
 
 from __future__ import annotations
@@ -2791,7 +2792,7 @@ ORACLES["doc_oov"] = SQL_DOC_OOV
 
 
 # ---------------------------------------------------------------------------
-# C5 — iterative alpha>0 re-scoring loop (rows-only: no oracle)
+# C5 — iterative alpha>0 re-scoring loop (exact oracle: round unrolling)
 # ---------------------------------------------------------------------------
 
 def q_er_iterative(spark, sf_dir):
@@ -2799,11 +2800,14 @@ def q_er_iterative(spark, sf_dir):
     per-round (1-α)·attr + α·rel with re-scored relational features and CC
     merging per round (reference resolver.py:655-801 semantics).
 
-    Intentionally NO SQL oracle: the round-synchronous merge loop re-derives
-    cluster neighborhoods from the evolving assignment each round — an
-    iterate-to-fixpoint computation outside ANSI SQL. Semantics are pinned
-    against the extended reference emulator in tests/test_iterative.py; the
-    driver records the rows+schema check.
+    Exact oracle by ROUND UNROLLING (same trick as er_fs's EM replay): the
+    Spark loop runs max_rounds=4 with an early break on a no-merge round,
+    and a no-merge round is a fixpoint in BOTH engines (empty merge set ->
+    assignment unchanged), so a fixed 4-round SQL unroll — each round one
+    linkage aggregate, one neighbor-jaccard block, and one recursive-CTE
+    closure over that round's merges — reproduces the loop bit-exactly.
+    Semantics additionally pinned against the extended reference emulator in
+    tests/test_iterative.py.
     """
     from ..operators.iterative import resolve_iterative
 
@@ -2818,10 +2822,12 @@ def q_er_iterative(spark, sf_dir):
         df_table=dft,
         corpus_size=n,
     ).persist()  # node scores feed every merge round
+    # hyper-edge id from the numeric conv_id tail (NOT xxhash64: the oracle
+    # must re-derive the identical edge table in SQL)
     edges = docs.select(
         "conv_id",
-        (F.xxhash64("conv_id") % F.lit(EDGE_MOD)).cast("long").alias("edge_id"),
-    ).select("conv_id", F.abs("edge_id").alias("edge_id"))
+        (F.substring("conv_id", 2, 10).cast("long") % F.lit(EDGE_MOD)).alias("edge_id"),
+    )
     out = resolve_iterative(
         scored.select("id1", "id2", "attr_sim"),
         docs.select("conv_id"),
@@ -2841,7 +2847,7 @@ def q_er_iterative(spark, sf_dir):
 
 
 QUERIES["er_iterative"] = q_er_iterative
-# no ORACLES entry: documented non-SQL-expressible (see docstring)
+# ORACLES entry registered below: SQL_ER_ITERATIVE (fixed-depth round unroll)
 
 
 # ---------------------------------------------------------------------------
@@ -4174,3 +4180,224 @@ left join p using (user_id)"""
 
 QUERIES["events_funnel"] = q_events_funnel
 ORACLES["events_funnel"] = SQL_EVENTS_FUNNEL
+
+
+# ---------------------------------------------------------------------------
+# er_iterative exact oracle: fixed-depth round unrolling (see q_er_iterative
+# docstring — a no-merge round is a fixpoint in both engines, so unrolling
+# max_rounds=4 reproduces the early-exit loop exactly)
+# ---------------------------------------------------------------------------
+
+_IT_ALPHA = 0.25
+_IT_ROUNDS = 4
+
+
+def _iterative_sql(rounds: int = _IT_ROUNDS) -> str:
+    one_minus = 1.0 - _IT_ALPHA
+    # every multiply-referenced CTE is MATERIALIZED: each round references the
+    # previous assignment 4x and `scored` once — inlined (DuckDB's default),
+    # the expansion is 4^rounds copies of the whole scan chain (observed as
+    # "too many open files" on the parquet scans); materialized, each round
+    # is evaluated once, like the Spark loop's localCheckpoint.
+    scored_chain = _er_scored_cte()
+    scored_chain = scored_chain.replace("scored as (", "scored as materialized (")
+    parts = [
+        scored_chain,
+        f"""
+edges_h as materialized (
+    select conv_id, cast(substr(conv_id, 2) as bigint) % {EDGE_MOD} as edge_id
+    from canon
+),
+a0 as materialized (select conv_id, conv_id as cluster_id from canon)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+lnk{r} as materialized (
+    select least(x1.cluster_id, x2.cluster_id) as c1,
+           greatest(x1.cluster_id, x2.cluster_id) as c2,
+           max(s.sim) as link
+    from scored s
+    join a{p} x1 on s.id1 = x1.conv_id
+    join a{p} x2 on s.id2 = x2.conv_id
+    where x1.cluster_id <> x2.cluster_id
+    group by 1, 2
+),
+nb{r} as (
+    select ca.cluster_id as cluster, cb.cluster_id as nbr
+    from edges_h e1 join edges_h e2 using (edge_id)
+    join a{p} ca on e1.conv_id = ca.conv_id
+    join a{p} cb on e2.conv_id = cb.conv_id
+),
+cnt{r} as materialized (select cluster, nbr from nb{r} group by cluster, nbr),
+tot{r} as (select cluster, cast(count(*) as double) as t from cnt{r} group by cluster),
+int{r} as (
+    select x.cluster as c1, y.cluster as c2, cast(count(*) as double) as i
+    from cnt{r} x join cnt{r} y using (nbr)
+    where x.cluster < y.cluster
+    group by 1, 2
+),
+sim{r} as (
+    select l.c1, l.c2,
+           {one_minus} * l.link
+           + {_IT_ALPHA} * coalesce(i.i / (t1.t + t2.t - i.i), 0.0) as sim
+    from lnk{r} l
+    left join int{r} i on l.c1 = i.c1 and l.c2 = i.c2
+    left join tot{r} t1 on l.c1 = t1.cluster
+    left join tot{r} t2 on l.c2 = t2.cluster
+),
+mg{r} as (select c1, c2 from sim{r} where sim >= {ER_THRESHOLD}),
+sym{r} as materialized (select c1 as a, c2 as b from mg{r} union select c2, c1 from mg{r}),
+reach{r}(a, b) as (
+    select a, b from sym{r}
+    union
+    select q.a, s.b from reach{r} q join sym{r} s on q.b = s.a
+),
+comp{r} as (select a as old, least(a, min(b)) as new from reach{r} group by a),
+a{r} as materialized (
+    select x.conv_id, coalesce(c.new, x.cluster_id) as cluster_id
+    from a{p} x left join comp{r} c on x.cluster_id = c.old
+)""")
+    return (
+        "with recursive "
+        + ",".join(parts)
+        + f"\nselect conv_id, cluster_id from a{rounds}"
+    )
+
+
+SQL_ER_ITERATIVE = _iterative_sql()
+ORACLES["er_iterative"] = SQL_ER_ITERATIVE
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide heavy-hitter n-grams (top-K with deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+_TOPG_K = 50
+_TOPG_N = 3
+
+
+def q_doc_top_ngrams(spark, sf_dir):
+    """Global top-50 token 3-grams by occurrence count (ties -> lexicographic
+    gram), plus each gram's document frequency. The corpus-analysis staple
+    (boilerplate detection feeds the dedup/span-removal thresholds). One
+    map-side-combinable aggregate; the top-K cut is a single tiny sort of
+    the distinct-gram table, never of occurrences."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(token_ngrams(tokenize(F.col("text")), _TOPG_N)).alias("gram"),
+    )
+    agg = g.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    # two-phase top-K: the global top-K is a subset of the union of
+    # per-salt-partition top-Ks for ANY row partitioning, so the only global
+    # sort runs on <= 64*K survivor rows — never a partition-less window
+    # over the full distinct-gram table (the round-1 token_dictionary
+    # anti-pattern)
+    wp = Window.partitionBy("_salt").orderBy(F.desc("n_occ"), F.asc("gram"))
+    survivors = (
+        agg.withColumn("_salt", F.pmod(F.xxhash64("gram"), F.lit(64)))
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= _TOPG_K)
+    )
+    w = Window.orderBy(F.desc("n_occ"), F.asc("gram"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOPG_K)
+        .select("rank", "gram", "n_occ", "n_docs")
+    )
+
+
+SQL_DOC_TOP_NGRAMS = f"""
+with toks as (select doc_id, {TOK} as t from documents),
+grams as (
+    select doc_id,
+           array_to_string(list_slice(t, u.i + 1, u.i + {_TOPG_N}), ' ') as gram
+    from toks,
+         lateral (select unnest(range(greatest(len(t) - {_TOPG_N} + 1, 0))) as i) u
+),
+agg as (
+    select gram, cast(count(*) as bigint) as n_occ,
+           cast(count(distinct doc_id) as bigint) as n_docs
+    from grams group by gram
+)
+select cast(rank as bigint) as rank, gram, n_occ, n_docs from (
+    select gram, n_occ, n_docs,
+           row_number() over (order by n_occ desc, gram) as rank
+    from agg
+) where rank <= {_TOPG_K}"""
+
+QUERIES["doc_top_ngrams"] = q_doc_top_ngrams
+ORACLES["doc_top_ngrams"] = SQL_DOC_TOP_NGRAMS
+
+
+# ---------------------------------------------------------------------------
+# clerical-review pair sampling (score-band-stratified, hash-keyed)
+# ---------------------------------------------------------------------------
+
+def q_er_review_sample(spark, sf_dir):
+    """Clerical-review queue: scored candidate pairs bucketed into score
+    bands, sampled at band-specific rates (borderline band kept whole — the
+    pairs a human must see; confident bands thinned) with the keep decision
+    hashed on the pair key, so re-runs reproduce the queue exactly."""
+    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
+    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    n = docs.count()
+    scored = score_pairs_slim(
+        pairs,
+        docs,
+        ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
+        df_table=dft,
+        corpus_size=n,
+    )
+    band = (
+        F.when(F.col("attr_sim") < 0.5, "low")
+        .when(F.col("attr_sim") < ER_THRESHOLD, "borderline")
+        .otherwise("high")
+    )
+    rate = (
+        F.when(F.col("band") == "borderline", 1.0)
+        .when(F.col("band") == "high", 0.2)
+        .otherwise(0.05)
+    )
+    keyed = scored.select(
+        "id1", "id2", F.round("attr_sim", 6).alias("attr_sim"), band.alias("band")
+    )
+    # SQL-replicable pair hash: Knuth hash of the numeric tails of both ids
+    hh = F.pmod(
+        (
+            F.substring("id1", 2, 10).cast("long") * F.lit(SPLIT_MULT)
+            + F.substring("id2", 2, 10).cast("long") * F.lit(40503)
+        ),
+        F.lit(SPLIT_DENOM),
+    )
+    return keyed.withColumn("_r", rate).filter(hh < F.col("_r") * SPLIT_DENOM).select(
+        "id1", "id2", "attr_sim", "band"
+    )
+
+
+SQL_ER_REVIEW_SAMPLE = (
+    "with "
+    + _er_scored_cte()
+    + f"""
+select id1, id2, round(sim, 6) as attr_sim,
+       case when sim < 0.5 then 'low'
+            when sim < {ER_THRESHOLD} then 'borderline'
+            else 'high' end as band
+from scored
+where (cast(substr(id1, 2) as bigint) * {SPLIT_MULT}
+       + cast(substr(id2, 2) as bigint) * 40503) % {SPLIT_DENOM}
+      < (case when sim < 0.5 then 0.05
+              when sim < {ER_THRESHOLD} then 1.0
+              else 0.2 end) * {SPLIT_DENOM}"""
+)
+
+QUERIES["er_review_sample"] = q_er_review_sample
+ORACLES["er_review_sample"] = SQL_ER_REVIEW_SAMPLE
