@@ -139,3 +139,59 @@ def media_stats(features: DataFrame) -> DataFrame:
         F.avg("n_bytes").alias("avg_bytes"),
         F.count_distinct("sha256").alias("distinct_payloads"),
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("frame_sha", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, k: int = 4, frame_chars: int = 100
+) -> DataFrame:
+    """Uniform frame sampling for video-ish payloads: k frame indices evenly
+    spaced across the payload's frame grid (endpoints included), each frame a
+    fixed-width window of the payload, identified by its sha256.
+
+    Same honesty contract as :func:`decode_media`: the real frame extractor
+    (pyav/ffmpeg) is absent in this container, so a "frame" is a
+    deterministic window of the payload's string form — but the distributed
+    plumbing (mapInPandas batch iterator, schema, per-row fan-out to k
+    output rows, partition preservation) is exactly what a real extractor
+    plugs into, and every output is engine-independent (replayed by the
+    DuckDB oracle via the same index arithmetic + sha256).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (endpoints included)")
+
+    def process(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "n_frames": [], "frame_sha": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                nf = max(len(text) // frame_chars, 1)
+                seen = set()
+                for j in range(k):
+                    idx = (j * (nf - 1)) // (k - 1)
+                    if idx in seen:
+                        continue
+                    seen.add(idx)
+                    frame = text[idx * frame_chars : (idx + 1) * frame_chars]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["n_frames"].append(nf)
+                    rows["frame_sha"].append(
+                        hashlib.sha256(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, schema=FRAMES_SCHEMA
+    )

@@ -3619,7 +3619,7 @@ def q_emb_project(spark, sf_dir):
 SQL_EMB_PROJECT = f"""
 with q as (
     select vec_id,
-           list_transform(embedding,
+           list_transform(embedding::DOUBLE[],
                           x -> cast(floor(x * {S.IVF_QUANT} + 0.5) as bigint)) as qe
     from embeddings
 ),
@@ -4401,3 +4401,43 @@ where (cast(substr(id1, 2) as bigint) * {SPLIT_MULT}
 
 QUERIES["er_review_sample"] = q_er_review_sample
 ORACLES["er_review_sample"] = SQL_ER_REVIEW_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# multimodal frame sampling (mapInPandas fan-out, engine-independent outputs)
+# ---------------------------------------------------------------------------
+
+_FR_K = 4
+_FR_CHARS = 100
+
+
+def q_media_frames(spark, sf_dir):
+    """Uniform frame sampling (multimodal.sample_frames) over synthesized
+    video payloads: k=4 endpoint-inclusive indices on the frame grid, frame
+    windows identified by sha256 — the mapInPandas fan-out shape a real
+    ffmpeg extractor plugs into, graded by index arithmetic + sha replay."""
+    from ..operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(load(spark, sf_dir, "documents"), kind="video")
+    return sample_frames(media, k=_FR_K, frame_chars=_FR_CHARS)
+
+
+SQL_MEDIA_FRAMES = f"""
+with m as (
+    select cast(doc_id as bigint) as media_id, text,
+           greatest(length(text) // {_FR_CHARS}, 1) as nf
+    from documents
+),
+fr as (
+    select distinct media_id, text, nf,
+           (j.j * (nf - 1)) // {_FR_K - 1} as frame_idx
+    from m, lateral (select unnest(range({_FR_K})) as j) j
+)
+select media_id,
+       cast(frame_idx as bigint) as frame_idx,
+       cast(nf as bigint) as n_frames,
+       sha256(substring(text, frame_idx * {_FR_CHARS} + 1, {_FR_CHARS})) as frame_sha
+from fr"""
+
+QUERIES["media_frames"] = q_media_frames
+ORACLES["media_frames"] = SQL_MEDIA_FRAMES

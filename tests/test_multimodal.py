@@ -46,3 +46,31 @@ def test_media_stats(media):
     assert len(stats) == 1
     assert stats[0]["kind"] == "image"
     assert stats[0]["n"] == 100
+
+
+def test_sample_frames_endpoints_and_dedupe(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 350), (2, "short")], ["doc_id", "text"]
+    )
+    media = M.synthesize_media(docs, kind="video")
+    rows = M.sample_frames(media, k=4, frame_chars=100).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    # doc 1: 350 chars -> 3 frames; k=4 endpoint-inclusive indices over
+    # grid 0..2 -> {0, 0, 1, 2} deduped to {0, 1, 2}
+    assert sorted(by[1]) == [0, 1, 2]
+    assert by[1][0]["n_frames"] == 3
+    assert by[1][2]["frame_sha"] == hashlib.sha256(("x" * 100).encode()).hexdigest()
+    # doc 2: single frame -> one deduped row at idx 0
+    assert sorted(by[2]) == [0]
+    assert by[2][0]["frame_sha"] == hashlib.sha256(b"short").hexdigest()
+
+
+def test_sample_frames_k_validation(spark):
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = M.synthesize_media(docs, kind="video")
+    with pytest.raises(ValueError):
+        M.sample_frames(media, k=1)
