@@ -119,6 +119,10 @@ def run(spark, sf_dir: str) -> dict:
         return a + b + c + d
 
     timed("q_textstats", textstats)
+    # exact-threshold set-similarity join (prefix filtering) and winnowing —
+    # the session-3 scale flagships, timed but not part of the headline metric
+    timed("q_prefix", lambda: DQ.q_dedup_prefix(spark, sf_dir).count())
+    timed("q_winnow", lambda: DQ.q_fingerprint_winnow(spark, sf_dir).count())
 
     pairs_per_sec = counts["q_score"] / timings["q_score"] if timings["q_score"] else 0.0
     return {
