@@ -120,9 +120,13 @@ def run(spark, sf_dir: str) -> dict:
 
     timed("q_textstats", textstats)
     # exact-threshold set-similarity join (prefix filtering) and winnowing —
-    # the session-3 scale flagships, timed but not part of the headline metric
-    timed("q_prefix", lambda: DQ.q_dedup_prefix(spark, sf_dir).count())
-    timed("q_winnow", lambda: DQ.q_fingerprint_winnow(spark, sf_dir).count())
+    # the session-3 scale flagships, timed but not part of the headline
+    # metric. SPARK_GRAFT_BENCH_CORE_ONLY=1 skips them (tools/scaling_bench
+    # sets it: its ratio uses q_score only, and q_prefix at 2 pinned cores
+    # would triple each trial's wall for no signal).
+    if os.environ.get("SPARK_GRAFT_BENCH_CORE_ONLY", "") != "1":
+        timed("q_prefix", lambda: DQ.q_dedup_prefix(spark, sf_dir).count())
+        timed("q_winnow", lambda: DQ.q_fingerprint_winnow(spark, sf_dir).count())
 
     pairs_per_sec = counts["q_score"] / timings["q_score"] if timings["q_score"] else 0.0
     return {

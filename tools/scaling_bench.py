@@ -82,6 +82,7 @@ def _run_level_once(cpus: int, sf_dir: str, pyfiles: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_BENCH_CORE_ONLY"] = "1"  # ratio uses q_score only
     spark_submit = shutil.which("spark-submit")
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     if spark_submit:
