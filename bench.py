@@ -136,7 +136,41 @@ def run(spark, sf_dir: str) -> dict:
         "queries": timings,
         "rows": counts,
         "sf": sf_dir,
+        "provenance": _provenance(spark),
     }
+
+
+def _provenance(spark) -> dict:
+    """Self-interpreting bench context: scratch dir, git SHA, CPU-steal delta
+    (vmstat 'st' — hypervisor noise documented in docs/ROUND2.md makes
+    r-vs-r comparisons meaningless without it)."""
+    import subprocess
+
+    prov: dict = {}
+    try:
+        prov["spark_local_dir"] = spark.conf.get("spark.local.dir", "<default:/tmp>")
+    except Exception:
+        prov["spark_local_dir"] = "<unknown>"
+    try:
+        prov["git_sha"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        prov["git_sha"] = "<unknown>"
+    try:
+        out = subprocess.run(
+            ["vmstat", "1", "3"], capture_output=True, text=True, timeout=10
+        ).stdout.strip().splitlines()
+        cols = out[1].split()
+        st_idx = cols.index("st")
+        samples = [int(line.split()[st_idx]) for line in out[3:]]
+        prov["cpu_steal_pct"] = sum(samples) / max(1, len(samples))
+    except Exception:
+        prov["cpu_steal_pct"] = None
+    return prov
 
 
 def main():

@@ -104,7 +104,12 @@ def gap_fill(
     grid = spans.select(
         key_col, F.explode(F.expr(f"sequence(_lo, _hi, {step})")).alias(ts_col)
     )
-    joined = grid.join(series, [key_col, ts_col], "left")
+    # join marker: `filled` must flag SYNTHESIZED rows, not rows whose first
+    # value column is genuinely NULL (ADVICE r2) — an observed NULL row keeps
+    # filled=false and its NULLs are still LOCF-carried like any gap.
+    joined = grid.join(
+        series.withColumn("_observed", F.lit(True)), [key_col, ts_col], "left"
+    )
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col)
@@ -114,5 +119,5 @@ def gap_fill(
         key_col,
         ts_col,
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-        F.col(value_cols[0]).isNull().alias("filled"),
+        F.col("_observed").isNull().alias("filled"),
     )

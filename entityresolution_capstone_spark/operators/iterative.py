@@ -105,7 +105,7 @@ def resolve_iterative(
         )
         if merges.isEmpty():
             break
-        comp = connected_components(merges, checkpoint=False).select(
+        comp = connected_components(merges).select(
             F.col("conv_id").alias("cluster_id"), F.col("cluster_id").alias("_new")
         )
         assignment = (

@@ -207,9 +207,17 @@ def score_pairs_slim(
             dv2 = dense.select(
                 F.col("conv_id").alias("id2"), F.col("v").alias("_v2"), F.col("nrm").alias("_n2")
             )
-            dot = F.aggregate(
-                F.zip_with("_v1", "_v2", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-            )
+            # STATIC dot product (vocab is a plan-time constant): element_at
+            # ordinal access + scalar multiply-adds stay inside whole-stage
+            # codegen. The zip_with+aggregate form this replaces is an
+            # interpreted (codegen-fallback) expression pair that measurably
+            # anti-scales at high in-JVM concurrency on the quadratic pair
+            # stream (VERDICT r2 / r3 microbenches: interpreted array HOFs
+            # were the 8→32-core collapse of the hot queries).
+            dot = None
+            for i in range(vocab):
+                term = F.element_at("_v1", i + 1) * F.element_at("_v2", i + 1)
+                dot = term if dot is None else dot + term
             # left joins + coalesce: a doc with zero tokens has no dense row;
             # its pairs must still score (tfidf partial 0), matching score_pairs
             cos_col = F.when(

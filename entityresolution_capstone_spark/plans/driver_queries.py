@@ -201,17 +201,70 @@ cand_pairs as (
     )
 
 
+# ER frontier cache, keyed by (Spark application, sf_dir). ~15 driver-gate
+# queries re-derive the identical transcripts -> canonical docs -> DF table ->
+# blocks -> candidate pairs -> scored chain; one sequential gate run paid that
+# chain once PER QUERY (the reason the r2 driver gate timed out before
+# covering all 83 queries — VERDICT r2 item 3 / "What's missing" 1). The
+# frontier tables are tiny next to the pair stream (docs/blocks/scored at the
+# gate SF fit trivially in storage memory) and die with the session.
+_FRONTIER_CACHE: dict[tuple, dict] = {}
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _FRONTIER_CACHE.get(key)
+    if st is None:
+        t = derive_transcripts(spark, sf_dir)
+        # docs feed blocking + scoring features + bootstrap + assignment;
+        # blocks feed BOTH sides of the pair self-join — persist so the
+        # minhash aggregation tree runs once, not once per consumer (the
+        # committed Pipeline gets the same effect from its stage tables).
+        docs = canonical_docs(t, prefix_len=PREFIX).persist()
+        dft = doc_frequencies(docs).persist()
+        tdict = B.token_dictionary(dft)
+        blocks = B.build_blocks(docs, tdict, ER_BLOCKING).persist()
+        st = {"t": t, "docs": docs, "dft": dft, "tdict": tdict, "blocks": blocks}
+        _FRONTIER_CACHE[key] = st
+    return st
+
+
 def _er_blocks(spark: SparkSession, sf_dir: str):
-    t = derive_transcripts(spark, sf_dir)
-    # docs feed blocking + scoring features + bootstrap + assignment; blocks
-    # feed BOTH sides of the pair self-join — persist so the minhash
-    # aggregation tree runs once, not once per consumer (the committed
-    # Pipeline gets the same effect from its stage tables).
-    docs = canonical_docs(t, prefix_len=PREFIX).persist()
-    dft = doc_frequencies(docs)
-    tdict = B.token_dictionary(dft)
-    blocks = B.build_blocks(docs, tdict, ER_BLOCKING).persist()
-    return t, docs, dft, tdict, blocks
+    st = _frontier(spark, sf_dir)
+    return st["t"], st["docs"], st["dft"], st["tdict"], st["blocks"]
+
+
+def _er_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted candidate pairs under ER_BLOCKING.
+
+    Materialized EAGERLY: downstream consumers reference the pair set from
+    several union branches (char + tfidf scoring partials); with a cold cache
+    those branches race and each recomputes the whole enumeration inside one
+    fused job — an eager count turns every later reference into a cache read.
+    """
+    st = _frontier(spark, sf_dir)
+    if "pairs" not in st:
+        st["pairs"] = B.candidate_pairs(st["blocks"], ER_BLOCKING).persist()
+        st["pairs"].count()
+    return st["pairs"]
+
+
+def _er_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized persisted scored pairs (ER_WEIGHTS lev+tfidf, attr_sim);
+    eagerly materialized for the same branch-race reason as :func:`_er_pairs`."""
+    st = _frontier(spark, sf_dir)
+    if "scored" not in st:
+        if "n_docs" not in st:
+            st["n_docs"] = st["docs"].count()
+        st["scored"] = score_pairs_slim(
+            _er_pairs(spark, sf_dir),
+            st["docs"],
+            ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
+            df_table=st["dft"],
+            corpus_size=st["n_docs"],
+        ).persist()
+        st["scored"].count()
+    return st["scored"]
 
 
 # ---------------------------------------------------------------------------
@@ -294,7 +347,7 @@ SQL_ER_MINHASH_BANDS = (
 
 def q_er_candidate_pairs(spark, sf_dir):
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    return B.candidate_pairs(blocks, ER_BLOCKING)
+    return _er_pairs(spark, sf_dir)
 
 
 SQL_ER_CANDIDATE_PAIRS = (
@@ -328,7 +381,7 @@ def q_er_pairs_lev(spark, sf_dir):
     from ..functions.similarity import make_pair_sim_udf
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
     d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
     lev_udf = make_pair_sim_udf("scaled_lev", max_len=PREFIX)
@@ -355,7 +408,7 @@ join (select conv_id, substr(doc, 1, {PREFIX}) pfx from canon) c2 on p.id2 = c2.
 
 def q_er_pairs_tfidf(spark, sf_dir):
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     n = docs.count()
     vectors = tfidf_vectors(docs, dft, n)
     norms = tfidf_norms(vectors)
@@ -414,7 +467,7 @@ def q_er_pairs_jw(spark, sf_dir):
     from ..functions.similarity import make_pair_sim_udf
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     jw = make_pair_sim_udf("jaro_winkler", max_len=PREFIX)
     d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
     d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
@@ -574,31 +627,24 @@ def q_er_clusters(spark, sf_dir):
     persistence each branch re-runs the whole upstream DAG. In the committed
     Pipeline (plans/pipeline.py) the same role is played by the stage tables.
     """
-    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    dft = dft.persist()
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
-    n = docs.count()
-    scored = score_pairs_slim(
-        pairs,
-        docs,
-        ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
-        df_table=dft,
-        corpus_size=n,
-    )
-    from ..operators.bootstrap import exact_match_edges
+    st = _frontier(spark, sf_dir)
+    if "clusters" not in st:
+        docs = st["docs"]
+        scored = _er_scored(spark, sf_dir)
+        from ..operators.bootstrap import exact_match_edges
 
-    edges = (
-        scored.filter(F.col("attr_sim") >= ER_THRESHOLD)
-        .select("id1", "id2")
-        .unionByName(exact_match_edges(docs, ["doc"]))
-        .distinct()
-    )
-    out = assign_clusters(docs, connected_components(edges, checkpoint=False))
-    out = out.localCheckpoint(eager=True)
-    docs.unpersist()
-    dft.unpersist()
-    blocks.unpersist()
-    return out
+        edges = (
+            scored.filter(F.col("attr_sim") >= ER_THRESHOLD)
+            .select("id1", "id2")
+            .unionByName(exact_match_edges(docs, ["doc"]))
+            .distinct()
+        )
+        # eager pin: the assignment feeds er_cluster_records / er_cluster_sizes
+        # / survivorship in the same gate run
+        st["clusters"] = assign_clusters(
+            docs, connected_components(edges)
+        ).localCheckpoint(eager=True)
+    return st["clusters"]
 
 
 SQL_ER_CLUSTERS = (
@@ -717,11 +763,12 @@ tok_ids as (
 
 
 def q_dedup_minhash(spark, sf_dir):
-    # array verify: these docs are short (~25 distinct tokens), so per-row
-    # array_intersect beats the explode route's row amplification (measured
-    # at sf0.1 / local[8]: 14.9s vs 26.4s for the same 2.83M verified pairs)
+    # explode verify: pure join/agg algebra. The array_intersect form is ~1.8x
+    # faster at 8 pinned cores but collapses at high in-JVM concurrency
+    # (measured sf0.1: local[32] array=627.6s vs explode=40.3s, same 2.83M
+    # rows) — see token_jaccard_verify's docstring.
     dups = D.minhash_duplicates(
-        load(spark, sf_dir, "documents"), _MH, verify_strategy="array"
+        load(spark, sf_dir, "documents"), _MH, verify_strategy="explode"
     )
     return dups.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1913,7 +1960,7 @@ def q_er_edge_match(spark, sf_dir):
     from ..operators.bootstrap import edge_match_filter
 
     t, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     edges = derive_edges(spark, sf_dir)
     groups = docs.groupBy("doc").agg(F.min("conv_id").alias("_rep"))
     exact_groups = docs.join(groups, "doc").select(
@@ -1960,7 +2007,7 @@ def q_er_neg_constraint(spark, sf_dir):
     from ..operators.bootstrap import negative_constraint_filter
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     edges = derive_edges(spark, sf_dir)
     return negative_constraint_filter(pairs, edges)
 
@@ -2000,7 +2047,7 @@ def q_er_linkage_avg(spark, sf_dir):
     from ..operators.linkage import cluster_pair_linkage
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
     d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
     mx = F.greatest(F.length("p1"), F.length("p2"))
@@ -2159,27 +2206,46 @@ def q_events_rollup(spark, sf_dir):
     """Multi-granularity rollup (hypertable-style continuous-aggregate shape):
     (day, event_type) -> day subtotals -> grand total in ONE pass via ROLLUP
     grouping sets. Sums run in decimal(18,6) so both engines aggregate exactly
-    (double summation order would differ between engines at the total row)."""
+    (double summation order would differ between engines at the total row);
+    the exact decimal is then emitted as DOUBLE (IEEE cast is exactly rounded,
+    so both engines produce the identical bit pattern) and the ROLLUP's NULL
+    subtotal keys are replaced by a '<all>' sentinel via grouping() — NULL
+    grouping keys and decimal scale both serialize engine-dependently under
+    the driver's value hasher (the one red cell of CORRECTNESS_r02)."""
     ev = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
     return (
         ev.select(
-            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            day.alias("day"),
             "event_type",
             F.col("value").cast("decimal(18,6)").alias("v"),
         )
         .rollup("day", "event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum("v").cast("decimal(38,6)").alias("sum_value"),
+            F.sum("v").cast("decimal(38,6)").cast("double").alias("sum_value"),
+            F.grouping("day").alias("_gd"),
+            F.grouping("event_type").alias("_ge"),
+        )
+        .select(
+            F.when(F.col("_gd") == 1, F.lit("<all>")).otherwise(F.col("day")).alias("day"),
+            F.when(F.col("_ge") == 1, F.lit("<all>"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "n",
+            "sum_value",
         )
     )
 
 
 SQL_EVENTS_ROLLUP = """
-select strftime(date_trunc('day', ts), '%Y-%m-%d') as day, event_type,
+select case when grouping(day) = 1 then '<all>' else day end as day,
+       case when grouping(event_type) = 1 then '<all>' else event_type end as event_type,
        cast(count(*) as bigint) as n,
-       cast(sum(cast(value as decimal(18,6))) as decimal(38,6)) as sum_value
-from events group by rollup(day, event_type)"""
+       cast(cast(sum(cast(value as decimal(18,6))) as decimal(38,6)) as double) as sum_value
+from (select strftime(date_trunc('day', ts), '%Y-%m-%d') as day, event_type, value
+      from events)
+group by rollup(day, event_type)"""
 
 
 def q_er_cluster_neighbors(spark, sf_dir):
@@ -2209,7 +2275,7 @@ def q_er_linkage_min(spark, sf_dir):
     from ..operators.linkage import cluster_pair_linkage
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
     d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
     mx = F.greatest(F.length("p1"), F.length("p2"))
@@ -2390,7 +2456,7 @@ def q_er_prc_sweep(spark, sf_dir):
     """P/R over lev-scored candidate pairs vs synthetic labels (doc_id % 97)
     at fixed thresholds; one conditional-aggregation pass."""
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     d1 = docs.select(F.col("conv_id").alias("id1"), F.col("doc_prefix").alias("p1"))
     d2 = docs.select(F.col("conv_id").alias("id2"), F.col("doc_prefix").alias("p2"))
     mx = F.greatest(F.length("p1"), F.length("p2"))
@@ -2614,7 +2680,7 @@ def q_dedup_cross(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
         _MH,
-        verify_strategy="array",
+        verify_strategy="explode",
     )
     return dups.select(
         "new_id", "base_id", F.round("jaccard", 6).alias("jaccard")
@@ -2812,21 +2878,13 @@ def q_er_iterative(spark, sf_dir):
     from ..operators.iterative import resolve_iterative
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    dft = dft.persist()
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
-    n = docs.count()
-    scored = score_pairs_slim(
-        pairs,
-        docs,
-        ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
-        df_table=dft,
-        corpus_size=n,
-    ).persist()  # node scores feed every merge round
+    scored = _er_scored(spark, sf_dir)  # node scores feed every merge round
     # hyper-edge id from the numeric conv_id tail (NOT xxhash64: the oracle
-    # must re-derive the identical edge table in SQL)
+    # must re-derive the identical edge table in SQL); unbounded substring on
+    # BOTH sides so the contract holds at any id width (ADVICE r2)
     edges = docs.select(
         "conv_id",
-        (F.substring("conv_id", 2, 10).cast("long") % F.lit(EDGE_MOD)).alias("edge_id"),
+        (F.expr("substring(conv_id, 2)").cast("long") % F.lit(EDGE_MOD)).alias("edge_id"),
     )
     out = resolve_iterative(
         scored.select("id1", "id2", "attr_sim"),
@@ -2838,12 +2896,7 @@ def q_er_iterative(spark, sf_dir):
         linkage="max",
         max_rounds=4,
     )
-    out = out.localCheckpoint(eager=True)
-    scored.unpersist()
-    docs.unpersist()
-    dft.unpersist()
-    blocks.unpersist()
-    return out
+    return out.localCheckpoint(eager=True)
 
 
 QUERIES["er_iterative"] = q_er_iterative
@@ -2961,15 +3014,12 @@ def q_er_blocking_quality(spark, sf_dir):
     from ..evaluate import blocking_quality
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     labels = load(spark, sf_dir, "documents").select(
         F.format_string("c%06d", "doc_id").alias("conv_id"),
         (F.col("doc_id") % 97).alias("entity_id"),
     )
-    out = blocking_quality(pairs, labels)
-    docs.unpersist()
-    blocks.unpersist()
-    return out
+    return blocking_quality(pairs, labels)
 
 
 SQL_ER_BLOCKING_QUALITY = (
@@ -3020,14 +3070,13 @@ def q_er_attach(spark, sf_dir):
     which is exactly what the oracle replays."""
     from ..operators.incremental import attach_to_clusters
 
-    t = derive_transcripts(spark, sf_dir)
-    docs = canonical_docs(t, prefix_len=PREFIX).persist()
+    _, docs, _, _, _ = _er_blocks(spark, sf_dir)
     is_new = F.substring("conv_id", 2, 6).cast("int") % 10 == 7
     new_docs = docs.filter(is_new)
     base_docs = docs.filter(~is_new)
     grp = base_docs.groupBy("doc").agg(F.min("conv_id").alias("cluster_id"))
     base_clusters = base_docs.join(grp, "doc").select("conv_id", "cluster_id")
-    out = attach_to_clusters(
+    return attach_to_clusters(
         new_docs,
         base_docs,
         base_clusters,
@@ -3036,8 +3085,6 @@ def q_er_attach(spark, sf_dir):
         ER_THRESHOLD,
         "max",
     )
-    docs.unpersist()
-    return out
 
 
 SQL_ER_ATTACH = (
@@ -3282,7 +3329,7 @@ def q_er_fs(spark, sf_dir):
     from ..operators import fellegi_sunter as FS
 
     _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
+    pairs = _er_pairs(spark, sf_dir)
     tk = docs.select("conv_id", F.explode(F.array_distinct("tokens")).alias("token"))
     sizes = docs.select(
         "conv_id", F.size(F.array_distinct("tokens")).cast("long").alias("nt")
@@ -4347,16 +4394,7 @@ def q_er_review_sample(spark, sf_dir):
     bands, sampled at band-specific rates (borderline band kept whole — the
     pairs a human must see; confident bands thinned) with the keep decision
     hashed on the pair key, so re-runs reproduce the queue exactly."""
-    _, docs, dft, tdict, blocks = _er_blocks(spark, sf_dir)
-    pairs = B.candidate_pairs(blocks, ER_BLOCKING)
-    n = docs.count()
-    scored = score_pairs_slim(
-        pairs,
-        docs,
-        ScoringConfig(weights=dict(ER_WEIGHTS), prefix_len=PREFIX),
-        df_table=dft,
-        corpus_size=n,
-    )
+    scored = _er_scored(spark, sf_dir)
     band = (
         F.when(F.col("attr_sim") < 0.5, "low")
         .when(F.col("attr_sim") < ER_THRESHOLD, "borderline")
@@ -4371,10 +4409,11 @@ def q_er_review_sample(spark, sf_dir):
         "id1", "id2", F.round("attr_sim", 6).alias("attr_sim"), band.alias("band")
     )
     # SQL-replicable pair hash: Knuth hash of the numeric tails of both ids
+    # (unbounded substring, matching the oracle's substr(id, 2) at any width)
     hh = F.pmod(
         (
-            F.substring("id1", 2, 10).cast("long") * F.lit(SPLIT_MULT)
-            + F.substring("id2", 2, 10).cast("long") * F.lit(40503)
+            F.expr("substring(id1, 2)").cast("long") * F.lit(SPLIT_MULT)
+            + F.expr("substring(id2, 2)").cast("long") * F.lit(40503)
         ),
         F.lit(SPLIT_DENOM),
     )

@@ -362,7 +362,7 @@ class EntityResolver:
             )
         else:
             seeds = exact
-        comps = connected_components(seeds, checkpoint=False)
+        comps = connected_components(seeds)
         return nodes.select("conv_id").join(comps, "conv_id", "left").select(
             "conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id")
         )
@@ -409,7 +409,7 @@ class EntityResolver:
                 )
             )
             asg = assign_clusters(
-                ids, connected_components(edges_thr, checkpoint=False)
+                ids, connected_components(edges_thr)
             )
         else:
             asg = linkage_clustering(
