@@ -328,14 +328,17 @@ def score_pairs(
             F.col("doc_prefix_1"), F.col("doc_prefix_2")
         )
 
+    stfidf_join = None
     if "stfidf" in cfg.weights:
         if df_table is None or corpus_size is None or spark is None:
             raise ValueError("stfidf kernel needs df_table + corpus_size + spark")
-        # the soft-TF-IDF kernel broadcasts the DF table as a python dict (the
-        # parity kernel's contract needs per-token DF lookups inside the Arrow
-        # batch). Unbounded, that collect OOMs the driver at web-scale vocab —
-        # so (a) prune the table to tokens that actually occur in candidate
-        # docs, (b) hard-cap what may be collected with a clear error.
+        # the soft-TF-IDF UDF kernel broadcasts the DF table as a python dict
+        # (per-token DF lookups inside the Arrow batch). Unbounded, that
+        # collect OOMs the driver at web-scale vocab — so (a) prune the table
+        # to tokens that actually occur in candidate docs, (b) above the cap,
+        # fall back to the fully DISTRIBUTED plan (functions/tfidf.py:
+        # soft_tfidf_pairs — same algebra, no driver collect, r3: removes the
+        # last driver-bounded reference kernel).
         cand_ids = (
             pairs.select(F.col("id1").alias("conv_id"))
             .unionByName(pairs.select(F.col("id2").alias("conv_id")))
@@ -349,23 +352,27 @@ def score_pairs(
         pruned = df_table.join(cand_tokens, "token")
         n_tokens = pruned.count()
         if n_tokens > cfg.stfidf_max_vocab:
-            raise ValueError(
-                f"stfidf kernel would broadcast {n_tokens} DF entries "
-                f"(cap {cfg.stfidf_max_vocab}): the soft-TF-IDF parity kernel "
-                "is driver-bounded by design — shrink the candidate set, raise "
-                "ScoringConfig.stfidf_max_vocab, or use the distributed "
-                "'tfidf' kernel instead"
+            stfidf_join = tfidf_mod.soft_tfidf_pairs(
+                pairs,
+                docs,
+                df_table,
+                corpus_size,
+                threshold=cfg.stfidf_threshold,
             )
-        df_map = {r["token"]: r["df"] for r in pruned.collect()}
-        bc = spark.sparkContext.broadcast(df_map)
-        st = tfidf_mod.make_soft_tfidf_udf(
-            bc, corpus_size, threshold=cfg.stfidf_threshold
-        )
-        kernel_cols["stfidf"] = st(F.col("tokens_1"), F.col("tokens_2"))
+        else:
+            df_map = {r["token"]: r["df"] for r in pruned.collect()}
+            bc = spark.sparkContext.broadcast(df_map)
+            st = tfidf_mod.make_soft_tfidf_udf(
+                bc, corpus_size, threshold=cfg.stfidf_threshold
+            )
+            kernel_cols["stfidf"] = st(F.col("tokens_1"), F.col("tokens_2"))
 
     scored = feat
     for name, col in kernel_cols.items():
         scored = scored.withColumn(name, col)
+    if stfidf_join is not None:
+        scored = scored.join(stfidf_join, ["id1", "id2"])
+        kernel_cols["stfidf"] = F.col("stfidf")
 
     if "tfidf" in cfg.weights:
         if df_table is None or corpus_size is None:
