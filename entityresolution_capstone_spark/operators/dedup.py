@@ -1058,6 +1058,7 @@ def prefix_jaccard_join(
     threshold_denom: int = 1_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bitset_max_words: int = 64,
 ) -> DataFrame:
     """Exact-threshold set-similarity self-join via prefix filtering (the
     PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): returns
@@ -1075,11 +1076,19 @@ def prefix_jaccard_join(
     (``inter·denom >= num·union``) are pure int64 comparisons — no doubles
     anywhere in a decision. Output jaccard is one final rounded division.
 
-    Scale shape: one dictionary build (range-partitioned ids, no global
-    sort), one token-cardinality groupBy to sorted id arrays, one equi-join
-    on prefix tokens (dedup'd per-row by the min-common-prefix-token rule —
-    no pair-set distinct), one per-row array-intersect verify. Hot prefix
-    tokens are bounded by the rarity order; residual skew splits under AQE.
+    Scale shape (r3 rewrite — the r2 form carried four token-id arrays
+    through the exploded prefix join and ran per-row array_intersect twice,
+    the interpreted/allocating pattern measured to collapse at high in-JVM
+    concurrency): one dictionary build (range-partitioned ids, no global
+    sort), an equi-join on prefix tokens whose rows are FOUR INTS (no array
+    payloads), emit-once via a pair groupBy (map-side combinable), then an
+    EXACT verify with zero per-row allocation:
+
+    - vocab <= 64·``bitset_max_words``: each doc's token set is a fixed-width
+      int64 bitset (dense dictionary ids -> bit positions); the intersection
+      is a static sum of ``bit_count(m1 & m2)`` terms — whole-stage codegen;
+    - larger vocab: the explode route — pairs ⋈ (doc, token_id) both sides,
+      one count aggregate — pure join algebra at any vocabulary.
 
     Output: (id1, id2, inter, union, jaccard) for pairs with J >= t.
     """
@@ -1093,7 +1102,7 @@ def prefix_jaccard_join(
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("token_id")).alias("tids"))
         .filter(F.size("tids") > 0)
-    )
+    ).persist()  # feeds the vocab probe, the prefix sides, and the verify
     n = F.size("tids")
     # ceil(t*n) in integers: (num*n + denom - 1) div denom
     ceil_tn = F.expr(
@@ -1102,7 +1111,6 @@ def prefix_jaccard_join(
     )
     pref = ids.select(
         "doc_id",
-        "tids",
         n.alias("_n"),
         F.slice("tids", 1, n - ceil_tn + 1).alias("prefix"),
     )
@@ -1114,16 +1122,12 @@ def prefix_jaccard_join(
     n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     a = pref.select(
         F.col("doc_id").alias("id1"),
-        F.col("tids").alias("t1"),
         F.col("_n").alias("n1"),
-        F.col("prefix").alias("p1"),
         F.explode("prefix").alias("ptok"),
     ).repartition(n_part, "ptok")
     b = pref.select(
         F.col("doc_id").alias("id2"),
-        F.col("tids").alias("t2"),
         F.col("_n").alias("n2"),
-        F.col("prefix").alias("p2"),
         F.explode("prefix").alias("ptok"),
     ).repartition(n_part, "ptok")
     cand = (
@@ -1134,16 +1138,19 @@ def prefix_jaccard_join(
             F.lit(threshold_num) * F.greatest("n1", "n2")
             <= F.lit(threshold_denom) * F.least("n1", "n2")
         )
-        # emit each pair once: only under the minimum shared prefix token
-        .filter(F.array_min(F.array_intersect("p1", "p2")) == F.col("ptok"))
+        # emit each pair once: pair-keyed aggregate (n1/n2 are constant per
+        # id, min() just carries them) — replaces the per-row
+        # min-common-prefix-token array filter of the r2 form
+        .groupBy("id1", "id2")
+        .agg(F.min("n1").alias("n1"), F.min("n2").alias("n2"))
     )
-    inter = F.size(F.array_intersect("t1", "t2"))
-    union = F.col("n1") + F.col("n2") - inter
+    inter_pairs = _token_set_intersections(cand, ids, bitset_max_words)
+    union = F.col("n1") + F.col("n2") - F.col("inter")
     return (
-        cand.select(
+        inter_pairs.select(
             "id1",
             "id2",
-            inter.cast("long").alias("inter"),
+            F.col("inter").cast("long").alias("inter"),
             union.cast("long").alias("union"),
         )
         .filter(
@@ -1152,6 +1159,71 @@ def prefix_jaccard_join(
         )
         .withColumn("jaccard", F.round(F.col("inter") / F.col("union"), 6))
     )
+
+
+def _token_set_intersections(
+    cand: DataFrame, ids: DataFrame, bitset_max_words: int
+) -> DataFrame:
+    """cand(id1, id2, ...) + ids(doc_id, tids sorted dense int64) ->
+    cand columns + ``inter`` (exact |t1 ∩ t2|), zero per-row allocation.
+
+    Bitset path (vocab <= 64·bitset_max_words): dense dictionary ids map to
+    bit positions; per-doc masks are W int64 bit_or aggregates; the
+    intersection size is a STATIC ``Σ_w bit_count(m1_w & m2_w)`` — stays in
+    whole-stage codegen. Fallback for unbounded vocabulary: explode both
+    sides and count shared tokens with one aggregate — join algebra only.
+    """
+    vocab = int(
+        ids.agg(F.coalesce(F.max(F.element_at("tids", -1)), F.lit(0))).collect()[0][0]
+    )
+    words = (vocab + 63) // 64
+    if 0 < words <= bitset_max_words:
+        tk = ids.select(
+            "doc_id", F.explode("tids").alias("tid")
+        ).select(
+            "doc_id", (F.col("tid") - 1).alias("bitpos")
+        ).select(
+            "doc_id",
+            F.expr("CAST(bitpos DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))").alias("bv"),
+        )
+        masks = tk.groupBy("doc_id").agg(
+            *[
+                F.bit_or(F.when(F.col("w") == w, F.col("bv")).otherwise(F.lit(0))).alias(
+                    f"m{w}"
+                )
+                for w in range(words)
+            ]
+        )
+        m1 = masks.select(
+            F.col("doc_id").alias("id1"),
+            *[F.col(f"m{w}").alias(f"_a{w}") for w in range(words)],
+        )
+        m2 = masks.select(
+            F.col("doc_id").alias("id2"),
+            *[F.col(f"m{w}").alias(f"_b{w}") for w in range(words)],
+        )
+        inter = None
+        for w in range(words):
+            term = F.bit_count(F.col(f"_a{w}").bitwiseAND(F.col(f"_b{w}")))
+            inter = term if inter is None else inter + term
+        return (
+            cand.join(m1, "id1")
+            .join(m2, "id2")
+            .select(*cand.columns, inter.alias("inter"))
+        )
+    tk = ids.select("doc_id", F.explode("tids").alias("tid"))
+    t1 = tk.select(F.col("doc_id").alias("id1"), "tid")
+    t2 = tk.select(F.col("doc_id").alias("id2"), "tid")
+    counts = (
+        cand.select("id1", "id2")
+        .join(t1, "id1")
+        .join(t2, ["id2", "tid"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    # inner join is exact here: every candidate shares >= 1 prefix token
+    return cand.join(counts, ["id1", "id2"])
 
 
 def minhash_jaccard_error(

@@ -108,42 +108,45 @@ def _run_level_once(cpus: int, sf_dir: str, pyfiles: str) -> dict:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # comma-separated small levels: "2,4" -> pairs (2 vs 8) and (4 vs 16)
+    ns = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "8").split(",")]
     trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
     pyfiles = make_pyfiles_zip()
 
-    r_n, r_4n = run_levels_interleaved(n, sf_dir, pyfiles, trials=trials)
+    results = []
+    for n in ns:
+        r_n, r_4n = run_levels_interleaved(n, sf_dir, pyfiles, trials=trials)
+        thr_n, thr_4n = r_n["value"], r_4n["value"]
+        eff = thr_4n / (4 * thr_n) if thr_n else 0.0
+        results.append(
+            {
+                "N": n,
+                "throughput_N": thr_n,
+                "throughput_4N": thr_4n,
+                "scaling_efficiency": round(eff, 3),
+                "bench_N": r_n,
+                "bench_4N": r_4n,
+            }
+        )
+        print(json.dumps({"pair": f"{n}v{4*n}", "eff": round(eff, 3)}), flush=True)
 
-    thr_n = r_n["value"]
-    thr_4n = r_4n["value"]
-    eff = thr_4n / (4 * thr_n) if thr_n else 0.0
-
-    summary = {
-        "sf_dir": sf_dir,
-        "N": n,
-        "throughput_N": thr_n,
-        "throughput_4N": thr_4n,
-        "scaling_efficiency": round(eff, 3),
-        "bench_N": r_n,
-        "bench_4N": r_4n,
-    }
+    summary = {"sf_dir": sf_dir, "trials_per_level": trials, "pairs": results}
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # one run -> BOTH artifacts (BASELINE.md + scaling_run.json), so the
     # committed evidence can never disagree with itself
     with open(os.path.join(REPO, "BENCH", "scaling_run.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            f"""# BENCH baseline — scaling evidence (N vs 4N parallelism)
+    md = [
+        f"""# BENCH baseline — scaling evidence (N vs 4N parallelism)
 
 Identical job (bench.py headline queries) on identical input (`{sf_dir}`),
 run via spark-submit --py-files at two parallelism levels, each level's
 process tree PINNED to exactly that many cores with `taskset` (local[N]
 bounds JVM task threads only; unpinned pandas-UDF python workers would let
 the small level borrow idle cores and deflate the ratio). Trials ALTERNATE
-between the two levels (N, 4N, N, 4N, ...) with min-of-k per level, so
-host-side noisy-neighbor drift — measured at up to 4x over tens of minutes
+between the two levels (N, 4N, N, 4N, ...) with min-of-{trials} per level, so
+host-side noisy-neighbor drift — measured at up to 4-6x over tens of minutes
 on this box — samples both levels equally instead of corrupting the ratio.
 Throughput metric:
 candidate-pairs-scored/sec — the q_score stage scores the full salted
@@ -151,25 +154,48 @@ candidate set with the complete kernel stack (one fused Arrow UDF: bit-
 parallel greedy Jaro-Winkler + bit-parallel Myers Levenshtein; JVM TF-IDF
 cosine; 128-char prefixes); blocking / pair generation is reported
 separately as q_block.
+"""
+    ]
+    for r in results:
+        n = r["N"]
+        r_n, r_4n = r["bench_N"], r["bench_4N"]
+        md.append(
+            f"""
+## Level pair {n} vs {4*n} cores
 
 | level | cores | pairs scored | wall (s) | pairs/sec |
 |---|---|---|---|---|
-| N  | {n}  | {r_n['rows']['q_score']} | {r_n['queries']['q_score']} | {thr_n} |
-| 4N | {4*n} | {r_4n['rows']['q_score']} | {r_4n['queries']['q_score']} | {thr_4n} |
+| N  | {n}  | {r_n['rows']['q_score']} | {r_n['queries']['q_score']} | {r['throughput_N']} |
+| 4N | {4*n} | {r_4n['rows']['q_score']} | {r_4n['queries']['q_score']} | {r['throughput_4N']} |
 
-**Scaling efficiency** `throughput_4N / (4 x throughput_N)` = **{eff:.3f}**
-(target >= 0.8 per BASELINE.json).
+**Scaling efficiency** `throughput_4N / (4 x throughput_N)` =
+**{r['scaling_efficiency']:.3f}** (target >= 0.8 per BASELINE.json).
 
 Per-query wall seconds:
 
 | query | local[{n}] | local[{4*n}] |
 |---|---|---|
-""" + "\n".join(
+"""
+            + "\n".join(
                 f"| {q} | {r_n['queries'][q]} | {r_4n['queries'][q]} |"
                 for q in r_n["queries"]
             )
-            + "\n"
         )
+    md.append(
+        """
+
+## Reading the small-query rows
+
+q_topk / q_textstats finish in ~1-10 s: fixed per-job costs (Spark session
+scheduling, broadcast build, Python worker spin-up) dominate such runs, so
+their per-query ratios are NOT scaling signal — at the smaller level those
+fixed costs overlap less compute and can even make the big level look slower
+(the r2 q_topk row). The efficiency gate is evaluated on q_score only, the
+one stage that runs minutes of kernel work per level (ADVICE r2).
+"""
+    )
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("".join(md))
     print(json.dumps(summary))
 
 
