@@ -137,10 +137,11 @@ def test_slim_tfidf_only_keeps_all_pairs(spark):
     assert rows[("c1", "c2")] > 0.0
 
 
-def test_stfidf_vocab_cap_raises(spark):
-    """The stfidf DF-dict broadcast is hard-capped with a clear error."""
-    import pytest as _pytest
-
+def test_stfidf_vocab_cap_falls_back_to_distributed(spark):
+    """Above stfidf_max_vocab, score_pairs switches to the fully distributed
+    soft-TF-IDF plan (functions/tfidf.py:soft_tfidf_pairs) instead of the
+    driver-broadcast dict — scores must be identical either way (r3: the cap
+    no longer refuses, it reroutes)."""
     from entityresolution_capstone_spark.functions.tfidf import doc_frequencies
     from entityresolution_capstone_spark.operators.scoring import (
         ScoringConfig,
@@ -148,13 +149,24 @@ def test_stfidf_vocab_cap_raises(spark):
     )
 
     docs = spark.createDataFrame(
-        [("c%d" % i, "t%d u%d" % (i, i), ["t%d" % i, "u%d" % i]) for i in range(30)],
+        [
+            ("c%d" % i, "tok%d sharedx" % i, ["tok%d" % i, "sharedx"])
+            for i in range(30)
+        ],
         "conv_id string, doc_prefix string, tokens array<string>",
     )
     pairs = spark.createDataFrame(
         [("c%d" % i, "c%d" % (i + 1)) for i in range(29)], "id1 string, id2 string"
     )
     dft = doc_frequencies(docs)
-    cfg = ScoringConfig(weights={"stfidf": 1.0}, stfidf_max_vocab=10)
-    with _pytest.raises(ValueError, match="stfidf_max_vocab"):
-        score_pairs(pairs, docs, cfg, df_table=dft, corpus_size=30, spark=spark)
+
+    def scores(cap):
+        cfg = ScoringConfig(weights={"stfidf": 1.0}, stfidf_max_vocab=cap)
+        out = score_pairs(pairs, docs, cfg, df_table=dft, corpus_size=30, spark=spark)
+        return {(r["id1"], r["id2"]): r["attr_sim"] for r in out.collect()}
+
+    broadcast_path = scores(10_000)  # vocab (31 tokens) fits → dict broadcast
+    distributed_path = scores(10)  # vocab exceeds cap → distributed fallback
+    assert set(broadcast_path) == set(distributed_path) and broadcast_path
+    for k in broadcast_path:
+        assert abs(broadcast_path[k] - distributed_path[k]) < 1e-12, k
