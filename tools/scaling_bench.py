@@ -198,6 +198,37 @@ level genuinely owns its pinned cores.
         f.write("".join(md))
 
 
+def _merge_pair(prev: dict | None, new: dict) -> dict:
+    """Combine two measurements of the same level pair by per-level min
+    q_score (more trials can only sharpen a min-of-k noise-free estimate;
+    noise on this box only ever slows a trial down)."""
+    if prev is None:
+        return new
+    merged = dict(new)
+    merged["trials"] = prev.get("trials", 0) + new["trials"]
+    for side in ("bench_N", "bench_4N"):
+        if prev[side]["queries"]["q_score"] < new[side]["queries"]["q_score"]:
+            merged[side] = prev[side]
+            merged["throughput_N" if side == "bench_N" else "throughput_4N"] = prev[
+                "throughput_N" if side == "bench_N" else "throughput_4N"
+            ]
+    eff = merged["throughput_4N"] / (4 * merged["throughput_N"])
+    merged["scaling_efficiency"] = round(eff, 3)
+    return merged
+
+
+def _load_prior_pairs() -> dict[int, dict]:
+    """Prior pairs from BENCH/scaling_run.json (new schema only), for
+    SPARK_GRAFT_SCALING_MERGE=1 top-up runs."""
+    path = os.path.join(REPO, "BENCH", "scaling_run.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return {p["N"]: p for p in data.get("pairs", [])}
+    except (OSError, ValueError, KeyError):
+        return {}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # comma-separated per-pair specs: "N[:trials][:score]"
@@ -212,6 +243,9 @@ def main():
         score_only = len(parts) > 2 and parts[2] == "score"
         specs.append((n, trials, score_only))
     pyfiles = make_pyfiles_zip()
+
+    merge = os.environ.get("SPARK_GRAFT_SCALING_MERGE") == "1"
+    prior = _load_prior_pairs() if merge else {}
 
     results = []
     for n, trials, score_only in specs:
@@ -232,8 +266,21 @@ def main():
                 "bench_4N": r_4n,
             }
         )
-        print(json.dumps({"pair": f"{n}v{4*n}", "eff": round(eff, 3)}), flush=True)
-        write_artifacts(sf_dir, results)
+        if merge:
+            results[-1] = _merge_pair(prior.get(n), results[-1])
+            prior[n] = results[-1]
+        print(
+            json.dumps(
+                {"pair": f"{n}v{4*n}", "eff": results[-1]["scaling_efficiency"]}
+            ),
+            flush=True,
+        )
+        if merge:
+            # keep untouched prior pairs in the artifact, ordered by N
+            merged_all = {**prior, **{p["N"]: p for p in results}}
+            write_artifacts(sf_dir, [merged_all[k] for k in sorted(merged_all)])
+        else:
+            write_artifacts(sf_dir, results)
 
     print(json.dumps({"sf_dir": sf_dir, "pairs": results}))
 
