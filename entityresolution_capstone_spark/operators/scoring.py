@@ -223,23 +223,29 @@ def score_pairs_slim(
             cos_col = F.when(
                 (F.col("_n1") > 0) & (F.col("_n2") > 0), dot / (F.col("_n1") * F.col("_n2"))
             ).otherwise(0.0)
-            parts.append(
-                pairs.join(F.broadcast(dv1), "id1", "left")
-                .join(F.broadcast(dv2), "id2", "left")
-                .select(
-                    "id1", "id2",
-                    F.coalesce(
-                        F.lit(cfg.weights["tfidf"]) * cos_col, F.lit(0.0)
-                    ).alias("partial"),
-                )
+            tfidf_partial = F.coalesce(
+                F.lit(cfg.weights["tfidf"]) * cos_col, F.lit(0.0)
             )
             unsupported = set(cfg.weights) - set(char_kernels) - {"tfidf"}
             if unsupported:
                 raise ValueError(f"score_pairs_slim does not support kernels: {unsupported}")
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out.groupBy("id1", "id2").agg(F.sum("partial").alias("attr_sim"))
+            # FUSED single-stage plan: both partials are per-pair row-aligned
+            # (char kernel rides the docs join; dense tf-idf rides two
+            # broadcast joins), so the union + 2x-pair-count groupBy shuffle
+            # the sparse path needs is pure overhead here. Adding the two
+            # partials in one projection is bit-identical to summing them in
+            # the groupBy (IEEE a+b is commutative and there are exactly two
+            # terms per pair), and the whole of q_score becomes ONE pipelined
+            # stage: scan pairs -> joins -> kernels -> partial agg.
+            base = parts[0] if char_kernels else pairs
+            fused = (
+                base.join(F.broadcast(dv1), "id1", "left")
+                .join(F.broadcast(dv2), "id2", "left")
+            )
+            sim = (
+                (F.col("partial") + tfidf_partial) if char_kernels else tfidf_partial
+            )
+            return fused.select("id1", "id2", sim.alias("attr_sim"))
         # per-doc tables: tiny next to the pair table; persisted because the
         # plan reads vectors twice and the two norm broadcasts would otherwise
         # re-run the whole explode+join chain each
