@@ -78,7 +78,22 @@ def run(spark, sf_dir: str) -> dict:
         dft = doc_frequencies(docs).persist()
         tdict = DQ.B.token_dictionary(dft)
         blocks = DQ.B.build_blocks(docs, tdict, BENCH_BLOCKING)
-        pairs = DQ.B.candidate_pairs(blocks, BENCH_BLOCKING).persist()
+        # Round-robin repartition before persisting: candidate_pairs' output
+        # partitioning is keyed on block_key (salted + banded union), so
+        # partition sizes are SKEWED — at local[8] the scoring stage measured
+        # 126s wall vs 107s of perfectly-packed task time (REST stage
+        # metrics), a ~19s straggler tail that shrinks as the wave count
+        # grows and therefore penalizes the LARGER parallelism level in the
+        # N-vs-4N ratio. Evenly-packed partitions (rows round-robined, 4 per
+        # core) remove the tail at every level; the one extra shuffle of the
+        # skinny pair rows is paid here in q_block, and is exactly how a
+        # 100-TB run should size its scoring partitions.
+        cpus = spark.sparkContext.defaultParallelism
+        pairs = (
+            DQ.B.candidate_pairs(blocks, BENCH_BLOCKING)
+            .repartition(4 * cpus)
+            .persist()
+        )
         n_pairs = pairs.count()
         state.update(docs=docs, dft=dft, pairs=pairs, n_docs=docs.count())
         return n_pairs
