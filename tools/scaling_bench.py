@@ -116,10 +116,44 @@ def _run_level_once(cpus: int, sf_dir: str, pyfiles: str, score_only: bool = Fal
     raise RuntimeError(f"no JSON from bench at local[{cpus}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def _pool_levels(pairs: list[dict]) -> None:
+    """Recompute each pair's efficiency from per-LEVEL pooled q_score minima.
+
+    Levels are shared across pairs (8 cores is the big side of the 2v8 pair
+    and the small side of the 8v32 pair), and every pinned trial of a level
+    measures the IDENTICAL q_score job: same `taskset` pin, same local[N] +
+    shuffle-partition config, and the score-only flag only skips queries
+    that run AFTER q_score (bench.py times q_block then q_score first in
+    both modes). min-of-k estimates a level's noise-free speed, so the min
+    legitimately pools every pair's trials of that level — discarding a
+    faster level-8 trial just because it was collected for the other pair
+    would waste measurement. Per-pair bench tables keep their own minima;
+    the headline throughput/efficiency fields are recomputed from the pool
+    and the pooled seconds are recorded in ``pooled_q_score``.
+    """
+    best: dict[int, float] = {}
+    for p in pairs:
+        for side in ("bench_N", "bench_4N"):
+            bench = p[side]
+            lvl = int(bench["cpus"])
+            s = bench["queries"]["q_score"]
+            if lvl not in best or s < best[lvl]:
+                best[lvl] = s
+    for p in pairs:
+        n = int(p["N"])
+        s_n, s_4n = best[n], best[4 * n]
+        rows = p["bench_N"]["rows"]["q_score"]
+        p["pooled_q_score"] = {str(n): s_n, str(4 * n): s_4n}
+        p["throughput_N"] = round(rows / s_n, 1)
+        p["throughput_4N"] = round(rows / s_4n, 1)
+        p["scaling_efficiency"] = round(s_n / (4 * s_4n), 3)
+
+
 def write_artifacts(sf_dir: str, results: list[dict]) -> None:
     """Rewrite BOTH artifacts (BASELINE.md + scaling_run.json) from the pairs
     measured so far — called after EVERY completed pair, so a campaign cut
     short by the round clock still leaves self-consistent committed evidence."""
+    _pool_levels(results)
     summary = {"sf_dir": sf_dir, "pairs": results}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_run.json"), "w") as f:
@@ -143,20 +177,27 @@ cosine; 128-char prefixes); blocking / pair generation is reported
 separately as q_block. Low-core pairs run q_block+q_score only
 (SPARK_GRAFT_BENCH_SCORE_ONLY=1): the ratio is defined on q_score alone and
 the remaining queries would triple each pinned local[2] trial for no signal;
-the full six-query table rides the highest pair.
+the full six-query table rides the highest pair. Levels are SHARED across
+pairs (8 cores is the big side of 2v8 and the small side of 8v32) and every
+pinned trial of a level runs the identical q_score job, so each level's
+min-of-k pools all of that level's trials campaign-wide; the per-query
+tables below show each pair's own fastest trial.
 """
     ]
     for r in results:
         n = r["N"]
         r_n, r_4n = r["bench_N"], r["bench_4N"]
+        pooled = r.get("pooled_q_score", {})
+        s_n = pooled.get(str(n), r_n["queries"]["q_score"])
+        s_4n = pooled.get(str(4 * n), r_4n["queries"]["q_score"])
         md.append(
             f"""
-## Level pair {n} vs {4*n} cores (min-of-{r['trials']})
+## Level pair {n} vs {4*n} cores (min-of-{r['trials']}, level-pooled)
 
 | level | cores | pairs scored | wall (s) | pairs/sec |
 |---|---|---|---|---|
-| N  | {n}  | {r_n['rows']['q_score']} | {r_n['queries']['q_score']} | {r['throughput_N']} |
-| 4N | {4*n} | {r_4n['rows']['q_score']} | {r_4n['queries']['q_score']} | {r['throughput_4N']} |
+| N  | {n}  | {r_n['rows']['q_score']} | {s_n} | {r['throughput_N']} |
+| 4N | {4*n} | {r_4n['rows']['q_score']} | {s_4n} | {r['throughput_4N']} |
 
 **Scaling efficiency** `throughput_4N / (4 x throughput_N)` =
 **{r['scaling_efficiency']:.3f}** (target >= 0.8 per BASELINE.json).
@@ -230,6 +271,24 @@ def _load_prior_pairs() -> dict[int, dict]:
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--recompute":
+        # Rewrite both artifacts from the stored pairs (applies level
+        # pooling) without running any trials.
+        path = os.path.join(REPO, "BENCH", "scaling_run.json")
+        with open(path) as f:
+            data = json.load(f)
+        write_artifacts(data["sf_dir"], data["pairs"])
+        print(
+            json.dumps(
+                {
+                    "recomputed": [
+                        {"pair": f"{p['N']}v{4*p['N']}", "eff": p["scaling_efficiency"]}
+                        for p in data["pairs"]
+                    ]
+                }
+            )
+        )
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # comma-separated per-pair specs: "N[:trials][:score]"
     #   "2:5:score,8:3" -> pair (2 vs 8) min-of-5 q_block+q_score only,
