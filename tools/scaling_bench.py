@@ -180,8 +180,10 @@ the remaining queries would triple each pinned local[2] trial for no signal;
 the full six-query table rides the highest pair. Levels are SHARED across
 pairs (8 cores is the big side of 2v8 and the small side of 8v32) and every
 pinned trial of a level runs the identical q_score job, so each level's
-min-of-k pools all of that level's trials campaign-wide; the per-query
-tables below show each pair's own fastest trial.
+min-of-k pools all of that level's trials campaign-wide. The per-query
+tables below are per-QUERY minima across a pair's trials (each query's
+noise-free wall is estimated independently; one straggler query in an
+otherwise-fast trial must not pin the whole table).
 """
     ]
     for r in results:
@@ -240,19 +242,29 @@ level genuinely owns its pinned cores.
 
 
 def _merge_pair(prev: dict | None, new: dict) -> dict:
-    """Combine two measurements of the same level pair by per-level min
-    q_score (more trials can only sharpen a min-of-k noise-free estimate;
-    noise on this box only ever slows a trial down)."""
+    """Combine two measurements of the same level pair by per-QUERY min
+    (more trials can only sharpen a min-of-k noise-free estimate; noise on
+    this box only ever slows a trial down — so each query's min across
+    trials estimates its noise-free wall independently; a single straggler
+    query in an otherwise-fast trial must not pin the whole table)."""
     if prev is None:
         return new
     merged = dict(new)
     merged["trials"] = prev.get("trials", 0) + new["trials"]
     for side in ("bench_N", "bench_4N"):
-        if prev[side]["queries"]["q_score"] < new[side]["queries"]["q_score"]:
-            merged[side] = prev[side]
-            merged["throughput_N" if side == "bench_N" else "throughput_4N"] = prev[
-                "throughput_N" if side == "bench_N" else "throughput_4N"
-            ]
+        base = prev[side] if (
+            prev[side]["queries"]["q_score"] < new[side]["queries"]["q_score"]
+        ) else new[side]
+        base = dict(base)
+        q = dict(base["queries"])
+        for other in (prev[side], new[side]):
+            for name, secs in other["queries"].items():
+                if name not in q or secs < q[name]:
+                    q[name] = secs
+        base["queries"] = q
+        merged[side] = base
+        thr_key = "throughput_N" if side == "bench_N" else "throughput_4N"
+        merged[thr_key] = round(base["rows"]["q_score"] / q["q_score"], 1)
     eff = merged["throughput_4N"] / (4 * merged["throughput_N"])
     merged["scaling_efficiency"] = round(eff, 3)
     return merged
