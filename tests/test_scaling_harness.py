@@ -1,0 +1,121 @@
+"""Pure-Python tests for the scaling-evidence merge/pool logic.
+
+tools/scaling_bench.py is the machinery behind BENCH/BASELINE.md (the
+north rule's N-vs-4N efficiency evidence); its min-of-k accumulation must
+be exact:
+
+- per-QUERY minima when merging trials of one level pair (one straggler
+  query in an otherwise-fast trial must not pin the committed table);
+- per-LEVEL q_score pooling across pairs (8 cores is the big side of the
+  2v8 pair and the small side of the 8v32 pair — every pinned trial of a
+  level measures the identical q_score job).
+
+No Spark session needed: the functions operate on plain dicts.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+
+
+@pytest.fixture(scope="module")
+def sb():
+    spec = importlib.util.spec_from_file_location(
+        "scaling_bench", os.path.join(_TOOLS, "scaling_bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _pair(n, q_n, q_4n, rows=1000, trials=1):
+    def side(cpus, queries):
+        return {"queries": dict(queries), "rows": {"q_score": rows}, "cpus": cpus}
+
+    thr_n = round(rows / q_n["q_score"], 1)
+    thr_4n = round(rows / q_4n["q_score"], 1)
+    return {
+        "N": n,
+        "trials": trials,
+        "score_only": False,
+        "throughput_N": thr_n,
+        "throughput_4N": thr_4n,
+        "scaling_efficiency": round(thr_4n / (4 * thr_n), 3),
+        "bench_N": side(n, q_n),
+        "bench_4N": side(4 * n, q_4n),
+    }
+
+
+def test_merge_takes_per_query_minima(sb):
+    prev = _pair(
+        8,
+        {"q_block": 40.0, "q_score": 98.2, "q_pipeline": 22.3},
+        {"q_block": 28.0, "q_score": 49.4, "q_pipeline": 78.3},
+        trials=2,
+    )
+    new = _pair(
+        8,
+        {"q_block": 35.0, "q_score": 102.0, "q_pipeline": 25.0},
+        {"q_block": 30.0, "q_score": 51.0, "q_pipeline": 26.0},
+    )
+    m = sb._merge_pair(prev, new)
+    assert m["trials"] == 3
+    # each query independently min'd — the fast q_pipeline from the slower
+    # (by q_score) trial replaces the straggler value
+    assert m["bench_N"]["queries"] == {
+        "q_block": 35.0,
+        "q_score": 98.2,
+        "q_pipeline": 22.3,
+    }
+    assert m["bench_4N"]["queries"] == {
+        "q_block": 28.0,
+        "q_score": 49.4,
+        "q_pipeline": 26.0,
+    }
+    # throughput keys on the q_score minimum
+    assert m["throughput_N"] == round(1000 / 98.2, 1)
+    assert m["throughput_4N"] == round(1000 / 49.4, 1)
+
+
+def test_merge_none_prev_is_identity(sb):
+    new = _pair(2, {"q_score": 300.0}, {"q_score": 100.0})
+    assert sb._merge_pair(None, new) is new
+
+
+def test_merge_handles_disjoint_query_sets(sb):
+    # score-only trials lack the tail queries; merging must keep the union
+    prev = _pair(
+        8,
+        {"q_score": 100.0, "q_pipeline": 20.0},
+        {"q_score": 50.0, "q_pipeline": 30.0},
+    )
+    new = _pair(8, {"q_score": 95.0}, {"q_score": 52.0})
+    m = sb._merge_pair(prev, new)
+    assert m["bench_N"]["queries"] == {"q_score": 95.0, "q_pipeline": 20.0}
+    assert m["bench_4N"]["queries"] == {"q_score": 50.0, "q_pipeline": 30.0}
+
+
+def test_pool_levels_shares_minima_across_pairs(sb):
+    # level 8 measured faster inside the 8v32 pair than inside the 2v8 pair:
+    # the 2v8 efficiency must use the pooled (faster) level-8 estimate
+    p_2v8 = _pair(2, {"q_score": 340.0}, {"q_score": 132.0})
+    p_8v32 = _pair(8, {"q_score": 98.0}, {"q_score": 49.0})
+    pairs = [p_2v8, p_8v32]
+    sb._pool_levels(pairs)
+    assert p_2v8["pooled_q_score"] == {"2": 340.0, "8": 98.0}
+    assert p_2v8["scaling_efficiency"] == round(340.0 / (4 * 98.0), 3)
+    assert p_8v32["scaling_efficiency"] == round(98.0 / (4 * 49.0), 3)
+    # throughputs recomputed from the pool
+    assert p_2v8["throughput_4N"] == round(1000 / 98.0, 1)
+
+
+def test_pool_levels_keeps_per_pair_tables(sb):
+    p_2v8 = _pair(2, {"q_score": 340.0}, {"q_score": 132.0})
+    p_8v32 = _pair(8, {"q_score": 98.0}, {"q_score": 49.0})
+    sb._pool_levels([p_2v8, p_8v32])
+    # the pair's own bench tables are untouched (they are the per-pair
+    # fastest-trial evidence); only the headline fields re-key on the pool
+    assert p_2v8["bench_4N"]["queries"]["q_score"] == 132.0
