@@ -1274,3 +1274,46 @@ def minhash_jaccard_error(
         true_j.alias("jaccard"),
         F.round(F.abs(est - true_j), 6).alias("abs_err"),
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 7,
+    hash_expr=None,
+) -> DataFrame:
+    """Cluster-level train/val/test split: the split unit is the NEAR-DUP
+    CLUSTER, not the document.
+
+    :func:`hash_split` keyed on the doc id scatters the members of a near-dup
+    cluster across train and val — training text leaks into eval through its
+    near-copies, the contamination fuzzy dedup exists to prevent. Here the
+    near-dup pair graph (any pair source: minhash, simhash, embedding) is
+    closed into components (large-star/small-star, operators/cc.py); every
+    document is labeled with its component representative (min doc id,
+    singletons label themselves), and the split hashes the REPRESENTATIVE —
+    all members of a cluster land in the same partition, and non-duplicated
+    docs split exactly as plain :func:`hash_split` would.
+
+    Scale shape: CC runs on the (sparse) dup-pair edge list only — at
+    real-corpus dup rates that is a few percent of doc cardinality; the
+    label join and the split itself are one shuffle + a projection.
+    Output: (id_col, cluster_rep, split).
+    """
+    from .cc import connected_components
+
+    comp = connected_components(
+        dup_pairs.select(F.col("id1"), F.col("id2"))
+    ).withColumnRenamed("conv_id", id_col)
+    base = (
+        documents.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+    out = hash_split(base, "cluster_rep", weights, seed=seed, hash_expr=hash_expr)
+    return out.select(F.col(id_col), "cluster_rep", "split")

@@ -774,3 +774,79 @@ def bm25_scores(
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
     )
+
+
+def filter_cascade(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 5000,
+    min_quality: float = 0.55,
+    max_top_2gram: float = 0.18,
+    max_dup_3gram: float = 0.30,
+) -> DataFrame:
+    """C4/RefinedWeb-style quality-filter cascade with reason codes.
+
+    Real training-data pipelines don't apply quality signals independently —
+    they run a fixed-order rule cascade and record, per document, whether it
+    survives and WHICH rule killed it first (the reason codes are what lets a
+    pipeline owner audit e.g. "the last crawl lost 12% more docs to the
+    repetition rule"). Rules, in order:
+
+    1. ``lang``        — language-id is 'unknown' (no stopword hit in any
+                         supported language);
+    2. ``length``      — whitespace token count outside
+                         [``min_tokens``, ``max_tokens``];
+    3. ``quality``     — composite quality score below ``min_quality``;
+    4. ``repetition``  — Gopher repetition screens: top-2-gram occupancy
+                         above ``max_top_2gram`` or duplicate-3-gram fraction
+                         above ``max_dup_3gram``.
+
+    Thresholds compare the 6-decimal-rounded signal values — the same
+    canonical representation the per-signal oracle queries grade — so the
+    keep/drop decision is bit-identical across engines (an unrounded double
+    can differ in the last ulp between engines exactly at a threshold).
+
+    Scale shape: three doc-cardinality signal scans (each itself shuffle-lean,
+    see the individual operators) joined on the id — no pair stream, no UDF.
+    Output: (doc_id, keep boolean, reason string; 'pass' for survivors).
+    """
+    lang = language_id(documents, id_col, text_col).select(
+        F.col(id_col), F.col("pred_lang")
+    )
+    qual = quality_scores(documents, id_col, text_col).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round("quality", 6).alias("_quality"),
+    )
+    rep = repetition_scores(documents, id_col, text_col).select(
+        F.col(id_col),
+        F.round("top_2gram_frac", 6).alias("_top2"),
+        F.round("dup_3gram_frac", 6).alias("_dup3"),
+    )
+    j = (
+        documents.select(F.col(id_col))
+        .join(lang, id_col)
+        .join(qual, id_col)
+        .join(rep, id_col)
+    )
+    reason = (
+        F.when(F.col("pred_lang") == "unknown", F.lit("lang"))
+        .when(
+            (F.col("n_tokens") < F.lit(int(min_tokens)))
+            | (F.col("n_tokens") > F.lit(int(max_tokens))),
+            F.lit("length"),
+        )
+        .when(F.col("_quality") < F.lit(float(min_quality)), F.lit("quality"))
+        .when(
+            (F.col("_top2") > F.lit(float(max_top_2gram)))
+            | (F.col("_dup3") > F.lit(float(max_dup_3gram))),
+            F.lit("repetition"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    return j.select(
+        F.col(id_col),
+        reason.alias("reason"),
+    ).withColumn("keep", F.col("reason") == "pass")

@@ -4676,3 +4676,88 @@ left join stf_nrm v2 on v2.conv_id = p.id2"""
 
 QUERIES["er_pairs_stfidf"] = q_er_pairs_stfidf
 ORACLES["er_pairs_stfidf"] = SQL_ER_PAIRS_STFIDF
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe cluster-level split + quality filter cascade (training-data
+# pipeline composites: dedup clustering -> split unit; signal stack -> keep/
+# drop with first-failing-rule reason codes)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (dedup.leakage_safe_split): minhash
+    near-dup pairs -> connected components -> split keyed on the CLUSTER
+    representative, so a near-dup cluster can never straddle train and eval.
+    Same multiplicative hash + 90/5/5 boundaries as doc_split."""
+    docs = load(spark, sf_dir, "documents")
+    dups = D.minhash_duplicates(docs, _MH, verify_strategy="explode")
+    h = lambda c: F.pmod(c.cast("long") * F.lit(SPLIT_MULT), F.lit(SPLIT_DENOM))  # noqa: E731
+    out = D.leakage_safe_split(
+        docs,
+        dups,
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+        hash_expr=h,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        "split",
+    )
+
+
+SQL_DOC_CLUSTER_SPLIT = f"""
+with recursive pairs as (
+    select id1, id2 from ({SQL_DEDUP_MINHASH})
+),
+sym as (select id1 as a, id2 as b from pairs union select id2, id1 from pairs),
+reach(a, b) as (
+    select a, b from sym
+    union
+    select r.a, s.b from reach r join sym s on r.b = s.a
+),
+comp as (select a as doc_id, least(a, min(b)) as rep from reach group by a),
+labeled as (
+    select d.doc_id, coalesce(c.rep, d.doc_id) as rep
+    from documents d left join comp c on c.doc_id = d.doc_id
+)
+select cast(doc_id as bigint) as doc_id,
+       cast(rep as bigint) as cluster_rep,
+       case when (rep * {SPLIT_MULT}) % {SPLIT_DENOM} < 900000 then 'train'
+            when (rep * {SPLIT_MULT}) % {SPLIT_DENOM} < 950000 then 'val'
+            else 'test' end as split
+from labeled"""
+
+QUERIES["doc_cluster_split"] = q_doc_cluster_split
+ORACLES["doc_cluster_split"] = SQL_DOC_CLUSTER_SPLIT
+
+
+def q_doc_filter_cascade(spark, sf_dir):
+    """Quality-filter cascade (textstats.filter_cascade): lang -> length ->
+    quality -> repetition in fixed order; per-doc keep + first-failing-rule
+    reason code, thresholds compared on the 6-dp canonical signal values."""
+    out = TS.filter_cascade(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "reason", "keep")
+
+
+SQL_DOC_FILTER_CASCADE = f"""
+with lang as (select doc_id, pred_lang from ({SQL_LANG_ID})),
+q as (select doc_id, n_tokens, quality from ({SQL_QUALITY})),
+rep as (select doc_id, top_2gram_frac, dup_3gram_frac from ({SQL_REPETITION})),
+cascade as (
+    select d.doc_id,
+           case when l.pred_lang = 'unknown' then 'lang'
+                when q.n_tokens < 25 or q.n_tokens > 5000 then 'length'
+                when q.quality < cast(0.55 as double) then 'quality'
+                when rep.top_2gram_frac > cast(0.18 as double)
+                     or rep.dup_3gram_frac > cast(0.30 as double) then 'repetition'
+                else 'pass' end as reason
+    from documents d
+    join lang l on l.doc_id = d.doc_id
+    join q on q.doc_id = d.doc_id
+    join rep on rep.doc_id = d.doc_id
+)
+select doc_id, reason, reason = 'pass' as keep from cascade"""
+
+QUERIES["doc_filter_cascade"] = q_doc_filter_cascade
+ORACLES["doc_filter_cascade"] = SQL_DOC_FILTER_CASCADE
