@@ -109,6 +109,23 @@ def _dense_tfidf_docs(docs, df_table, corpus_size, vocab):
     )
 
 
+def precompute_dense_tfidf(
+    docs: DataFrame, df_table: DataFrame, corpus_size: int
+) -> DataFrame | None:
+    """Materialize the per-doc dense tf-idf table score_pairs_slim's dense
+    path needs, or None when the vocab/corpus is too large for the dense
+    path (the sparse explode+join route needs no precompute).
+
+    Per-doc featurization is O(docs) work a pipeline runs ONCE (and persists)
+    before scoring O(pairs) candidates; callers pass the persisted result as
+    ``dense_table`` so repeated scoring passes don't re-derive it.
+    """
+    vocab = df_table.count()
+    if vocab <= DENSE_TFIDF_MAX_VOCAB and (corpus_size or 0) <= DENSE_TFIDF_MAX_DOCS:
+        return _dense_tfidf_docs(docs, df_table, corpus_size, vocab)
+    return None
+
+
 def _custom_kernel_udf(fn):
     """Wrap a user batch kernel (ndarray, ndarray) -> ndarray[float64] as a
     pandas UDF (the A5 extension point, reference resolver.py:899-901)."""
@@ -139,6 +156,7 @@ def score_pairs_slim(
     cfg: ScoringConfig | None = None,
     df_table: DataFrame | None = None,
     corpus_size: int | None = None,
+    dense_table: DataFrame | None = None,
 ) -> DataFrame:
     """(id1, id2) -> (id1, id2, attr_sim): the shuffle-minimal scoring plan.
 
@@ -200,7 +218,12 @@ def score_pairs_slim(
             # feature join, so this kernel scales like the char kernels. Only
             # viable when the vocabulary is small enough to pivot into columns;
             # large vocabularies take the sparse explode+join route below.
-            dense = _dense_tfidf_docs(docs, df_table, corpus_size, vocab)
+            # dense_table: caller-precomputed (and typically persisted) output
+            # of precompute_dense_tfidf — per-doc featurization is O(docs) prep
+            # a pipeline materializes once, not once per scoring pass
+            dense = dense_table if dense_table is not None else _dense_tfidf_docs(
+                docs, df_table, corpus_size, vocab
+            )
             dv1 = dense.select(
                 F.col("conv_id").alias("id1"), F.col("v").alias("_v1"), F.col("nrm").alias("_n1")
             )

@@ -170,3 +170,26 @@ def test_stfidf_vocab_cap_falls_back_to_distributed(spark):
     assert set(broadcast_path) == set(distributed_path) and broadcast_path
     for k in broadcast_path:
         assert abs(broadcast_path[k] - distributed_path[k]) < 1e-12, k
+
+
+def test_dense_table_precompute_parity(spark, small):
+    """score_pairs_slim with a caller-precomputed dense_table must be
+    bit-identical to the inline dense path (bench.py materializes the
+    per-doc featurization once in q_block and reuses it across scoring
+    passes — the output may not depend on who derived the table)."""
+    docs, dft, pairs, _ = small
+    n_docs = docs.count()
+    cfg = SC.ScoringConfig(weights={"jw": 0.3, "lev": 0.2, "tfidf": 0.5})
+
+    inline = SC.score_pairs_slim(
+        pairs, docs, cfg, df_table=dft, corpus_size=n_docs
+    )
+    dense = SC.precompute_dense_tfidf(docs, dft, n_docs)
+    assert dense is not None  # tiny corpus must take the dense path
+    pre = SC.score_pairs_slim(
+        pairs, docs, cfg, df_table=dft, corpus_size=n_docs,
+        dense_table=dense.persist(),
+    )
+    a = {(r["id1"], r["id2"]): r["attr_sim"] for r in inline.collect()}
+    b = {(r["id1"], r["id2"]): r["attr_sim"] for r in pre.collect()}
+    assert a == b and a
