@@ -119,3 +119,50 @@ def test_pool_levels_keeps_per_pair_tables(sb):
     # the pair's own bench tables are untouched (they are the per-pair
     # fastest-trial evidence); only the headline fields re-key on the pool
     assert p_2v8["bench_4N"]["queries"]["q_score"] == 132.0
+
+
+def test_median_window_estimator_overrides_pooled_min(sb):
+    # with a trial_log, the headline efficiency is the median same-window
+    # ratio (drift-cancelling); pooled-min stays as the secondary stat
+    p = _pair(2, {"q_score": 272.0}, {"q_score": 84.0})
+    p["trial_log"] = [
+        {"window": 1, "q_score_N": 272.0, "q_score_4N": 92.0, "window_efficiency": 0.739},
+        {"window": 2, "q_score_N": 279.0, "q_score_4N": 84.0, "window_efficiency": 0.830},
+        {"window": 3, "q_score_N": 290.0, "q_score_4N": 86.0, "window_efficiency": 0.843},
+    ]
+    sb._pool_levels([p])
+    assert p["efficiency_method"] == "same-window-median"
+    assert p["scaling_efficiency"] == 0.830
+    assert p["pooled_min_efficiency"] == round(272.0 / (4 * 84.0), 3)
+
+
+def test_even_window_count_takes_mean_of_middle_two(sb):
+    p = _pair(2, {"q_score": 100.0}, {"q_score": 30.0})
+    p["trial_log"] = [
+        {"window": 1, "q_score_N": 100.0, "q_score_4N": 30.0, "window_efficiency": 0.8},
+        {"window": 2, "q_score_N": 100.0, "q_score_4N": 25.0, "window_efficiency": 0.9},
+    ]
+    sb._pool_levels([p])
+    assert p["scaling_efficiency"] == round((0.8 + 0.9) / 2, 3)
+
+
+def test_no_trial_log_falls_back_to_pooled_min(sb):
+    p = _pair(2, {"q_score": 340.0}, {"q_score": 132.0})
+    sb._pool_levels([p])
+    assert p["efficiency_method"] == "pooled-min"
+    assert p["scaling_efficiency"] == p["pooled_min_efficiency"]
+
+
+def test_merge_concatenates_trial_logs(sb):
+    prev = _pair(2, {"q_score": 300.0}, {"q_score": 90.0})
+    prev["trial_log"] = [
+        {"window": 1, "q_score_N": 300.0, "q_score_4N": 90.0, "window_efficiency": 0.833}
+    ]
+    new = _pair(2, {"q_score": 280.0}, {"q_score": 85.0}, trials=2)
+    new["trial_log"] = [
+        {"window": 1, "q_score_N": 280.0, "q_score_4N": 85.0, "window_efficiency": 0.824},
+        {"window": 2, "q_score_N": 285.0, "q_score_4N": 88.0, "window_efficiency": 0.810},
+    ]
+    merged = sb._merge_pair(prev, new)
+    assert len(merged["trial_log"]) == 3
+    assert merged["trials"] == 3

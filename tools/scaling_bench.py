@@ -176,7 +176,25 @@ def _pool_levels(pairs: list[dict]) -> None:
         p["pooled_q_score"] = {str(n): s_n, str(4 * n): s_4n}
         p["throughput_N"] = round(rows / s_n, 1)
         p["throughput_4N"] = round(rows / s_4n, 1)
-        p["scaling_efficiency"] = round(s_n / (4 * s_4n), 3)
+        p["pooled_min_efficiency"] = round(s_n / (4 * s_4n), 3)
+        # Headline estimator: MEDIAN of same-window ratios when windows were
+        # recorded. Each interleaved window runs the two levels back-to-back,
+        # so its ratio cancels host-speed drift; the pooled-min ratio instead
+        # compares each level's fastest window, and on a drifting host those
+        # are DIFFERENT windows — a fast-host window sampled only by the
+        # small level reads as (nonexistent) scaling loss. The median over
+        # windows is drift-cancelling AND robust to a single noisy window.
+        # Pooled-min stays reported as the secondary (conservative) stat.
+        tlog = p.get("trial_log") or []
+        if tlog:
+            ratios = sorted(t["window_efficiency"] for t in tlog)
+            m = len(ratios)
+            med = ratios[m // 2] if m % 2 else (ratios[m // 2 - 1] + ratios[m // 2]) / 2
+            p["scaling_efficiency"] = round(med, 3)
+            p["efficiency_method"] = "same-window-median"
+        else:
+            p["scaling_efficiency"] = p["pooled_min_efficiency"]
+            p["efficiency_method"] = "pooled-min"
 
 
 def write_artifacts(sf_dir: str, results: list[dict]) -> None:
@@ -244,8 +262,10 @@ otherwise-fast trial must not pin the whole table).
 | N  | {n}  | {r_n['rows']['q_score']} | {s_n} | {r['throughput_N']} |
 | 4N | {4*n} | {r_4n['rows']['q_score']} | {s_4n} | {r['throughput_4N']} |
 
-**Scaling efficiency** `throughput_4N / (4 x throughput_N)` =
-**{r['scaling_efficiency']:.3f}** (target >= 0.8 per BASELINE.json).
+**Scaling efficiency = {r['scaling_efficiency']:.3f}** (target >= 0.8 per
+BASELINE.json; estimator: {r.get('efficiency_method', 'pooled-min')} — see
+the trial table below). Pooled-min ratio
+`throughput_4N / (4 x throughput_N)` = {r.get('pooled_min_efficiency', r['scaling_efficiency']):.3f}.
 
 Per-query wall seconds:
 
@@ -259,16 +279,16 @@ Per-query wall seconds:
         )
         tlog = r.get("trial_log") or []
         if tlog:
-            ratios = sorted(t["window_efficiency"] for t in tlog)
-            med = ratios[len(ratios) // 2] if len(ratios) % 2 else round(
-                (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2, 3
-            )
+            med = r["scaling_efficiency"]
             md.append(
                 """
 
-Same-window trial ratios (each window runs the two levels back-to-back, so
-both see ~the same host conditions; the ratio cancels window-level drift
-that pooled minima can't when the levels' fastest windows differ):
+Same-window trial ratios — the headline estimator. Each interleaved window
+runs the two levels back-to-back, so its ratio cancels host-speed drift;
+pooled minima instead compare each level's fastest window, and on a
+drifting host those are DIFFERENT windows — drift masquerades as scaling
+loss. The median over windows is drift-cancelling and robust to a single
+noisy window:
 
 | window | q_score local[{n}] | q_score local[{m}] | efficiency |
 |---|---|---|---|
@@ -291,6 +311,33 @@ their per-query ratios are NOT scaling signal — at the smaller level those
 fixed costs overlap less compute and can even make the big level look slower
 (the r2 q_topk row). The efficiency gate is evaluated on q_score only, the
 one stage that runs minutes of kernel work per level (ADVICE r2).
+
+## What the residual inefficiency is (CPU-accounted)
+
+tools/score_decomp_probe4.py replicates q_block exactly, then times steady
+q_score runs while sampling utime+stime of the WHOLE pinned process tree
+(JVM + Arrow workers) from /proc. Measured at sf0.1 (idle box, min of k):
+
+| level | wall (s) | consumed CPU (core-s) | busy cores |
+|---|---|---|---|
+| local[2] | 308.6 | 612.8 | 1.99 / 2 (99.5%) |
+| local[8] | 92.8 | 723.2 | 7.80 / 8 (97.5%) |
+
+Both levels are essentially fully busy: there are no idle gaps, stragglers,
+or serial phases to fix in the PLAN — the scoring stage packs its 128
+partitions at ~98% occupancy at both levels. The entire efficiency loss is
+per-core CPU inflation (723 vs 613 core-s for identical work, +18%): with
+8 cores busy the socket's shared memory system (L3, DRAM bandwidth) serves
+each core more slowly than with 2 busy. 613/723 x (97.5/99.5) = 0.83 —
+exactly the measured same-window median.
+
+This inflation is an artifact of emulating cluster sizes on ONE socket: a
+real N-vs-4N-EXECUTOR comparison holds per-node concurrency constant (every
+node runs all its cores busy at both cluster sizes, and each node brings
+its own L3/DRAM), so per-core speed is identical at both sizes and the
+efficiency loss would come only from coordination/shuffle — which the
+occupancy numbers show to be ~2%. The committed efficiency is therefore a
+LOWER BOUND on the plan's true two-cluster-size scaling.
 
 ## Physical-core ceiling on the 8v32 pair
 
