@@ -91,3 +91,85 @@ def decontaminate(
             (F.coalesce("max_overlap", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def _static_dot(a: str, b: str, dim: int):
+    """Σ a[i]·b[i] as a STATIC expression over a plan-time-constant dim.
+
+    element_at ordinal access + scalar multiply-adds stay inside whole-stage
+    codegen; the ``zip_with``+``aggregate`` form is an interpreted
+    (codegen-fallback) expression pair that anti-scales at high in-JVM
+    concurrency on wide streams (docs/SCALE.md, round-3 law). Left-to-right
+    summation matches DuckDB's ``list_dot_product`` term order, so the
+    result is bit-identical across engines."""
+    dot = None
+    for i in range(dim):
+        term = F.element_at(a, i + 1) * F.element_at(b, i + 1)
+        dot = term if dot is None else dot + term
+    return dot
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space eval-set decontamination:
+    -> (vec_id, best_bench_id, cosine, contaminated).
+
+    The semantic complement to the n-gram pass above: paraphrased or
+    reformatted benchmark items share no exact n-grams with their training-set
+    leak, but sit next to it in embedding space. A corpus vector is
+    *contaminated* when its max cosine against ANY benchmark vector reaches
+    ``threshold``; the argmax benchmark id is reported for auditing.
+
+    Engine-stable contract (the repo's oracle pattern): cosines are computed
+    in float64 and rounded to 5 dp BEFORE the threshold compare and the
+    argmax tie-break (ties -> lowest benchmark id), so Spark and the DuckDB
+    oracle agree bit-for-bit at rule boundaries.
+
+    100-TB shape: the benchmark side is an eval suite — thousands of vectors,
+    not billions — so it is **broadcast** and the corpus streams through one
+    projection + broadcast nested-loop join; per-side norms are precomputed
+    BEFORE the join (O(C·d), not O(C·E·d)); the per-corpus-row argmax is a
+    map-side-combinable ``max(struct)`` aggregate, so only C rows (not C·E)
+    reach the exchange. For benchmark sides too large to broadcast, route
+    through the IVF/LSH index in operators/similarity_search.py instead.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", F.sqrt(_static_dot("_cv", "_cv", dim)))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.col(bench_vec_col).cast("array<double>").alias("_bv"),
+    ).withColumn("_bn", F.sqrt(_static_dot("_bv", "_bv", dim)))
+
+    cos = (
+        F.when(
+            (F.col("_cn") > 0) & (F.col("_bn") > 0),
+            _static_dot("_cv", "_bv", dim) / (F.col("_cn") * F.col("_bn")),
+        )
+        .otherwise(0.0)
+    )
+    pairs = c.crossJoin(F.broadcast(b)).select(
+        "_cid", "_bid", F.round(cos, 5).alias("_cos_r")
+    )
+    # argmax(cos_r, tie -> lowest bench id) as ONE combinable aggregate:
+    # max() over struct(cos_r, -bid) orders lexicographically
+    best = (
+        pairs.groupBy("_cid")
+        .agg(F.max(F.struct(F.col("_cos_r"), (-F.col("_bid")).alias("_nbid"))).alias("_m"))
+        .select(
+            F.col("_cid").alias(id_col),
+            (-F.col("_m._nbid")).alias("best_bench_id"),
+            F.col("_m._cos_r").alias("cosine"),
+            (F.col("_m._cos_r") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+    return best

@@ -4761,3 +4761,50 @@ select doc_id, reason, reason = 'pass' as keep from cascade"""
 
 QUERIES["doc_filter_cascade"] = q_doc_filter_cascade
 ORACLES["doc_filter_cascade"] = SQL_DOC_FILTER_CASCADE
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) decontamination — the paraphrase-robust
+# complement to the n-gram decontam pass
+
+
+def q_decontam_semantic(spark, sf_dir):
+    """Embedding-space decontamination (decontam.semantic_decontaminate):
+    corpus vectors vs a deterministic eval subset (vec_id % 97 == 3),
+    contaminated = max cosine >= 0.2. Cosines are float64, rounded to 5 dp
+    before the threshold compare and the argmax tie-break (ties -> lowest
+    bench id), so both engines agree at rule boundaries. The bench side is
+    broadcast; per-side norms are precomputed; only C rows (not C x E)
+    reach the exchange via the combinable max(struct) argmax."""
+    from ..operators.decontam import semantic_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 3)
+    corpus = emb.filter(F.col("vec_id") % 97 != 3)
+    return semantic_decontaminate(corpus, bench, dim=64, threshold=0.2)
+
+
+SQL_DECONTAM_SEMANTIC = """
+with v as (select vec_id as id, embedding::DOUBLE[] as e from embeddings),
+n as (select id, e, sqrt(list_dot_product(e, e)) as nrm from v),
+bench as (select * from n where id % 97 = 3),
+corpus as (select * from n where id % 97 <> 3),
+cosr as (
+    select c.id as vec_id, b.id as bid,
+           round(case when c.nrm > 0 and b.nrm > 0
+                 then list_dot_product(c.e, b.e) / (c.nrm * b.nrm)
+                 else 0.0 end, 5) as cos_r
+    from corpus c cross join bench b
+),
+best as (
+    select vec_id, bid, cos_r,
+           row_number() over (partition by vec_id
+                              order by cos_r desc, bid) as rk
+    from cosr
+)
+select vec_id, bid as best_bench_id, cos_r as cosine,
+       cos_r >= 0.2 as contaminated
+from best where rk = 1"""
+
+QUERIES["decontam_semantic"] = q_decontam_semantic
+ORACLES["decontam_semantic"] = SQL_DECONTAM_SEMANTIC

@@ -79,3 +79,48 @@ def test_decontaminate_short_docs_and_plan(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_decontaminate_argmax_and_threshold(spark):
+    from entityresolution_capstone_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    bench = _vecs(spark, [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])])
+    corpus = _vecs(
+        spark,
+        [
+            (1, [2.0, 0.0, 0.0]),   # cos 1.0 with bench 100
+            (2, [1.0, 1.0, 0.0]),   # cos ~0.70711 with BOTH -> tie, lowest bid
+            (3, [0.0, 0.0, 5.0]),   # orthogonal to both -> cos 0
+            (4, [0.0, 0.0, 0.0]),   # zero vector -> cos 0 by contract
+        ],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, bench, dim=3, threshold=0.5).collect()
+    }
+    assert out[1]["best_bench_id"] == 100 and out[1]["cosine"] == 1.0
+    assert out[1]["contaminated"]
+    # tie on rounded cosine -> lowest bench id wins
+    assert out[2]["best_bench_id"] == 100 and abs(out[2]["cosine"] - 0.70711) < 1e-9
+    assert out[2]["contaminated"]
+    assert out[3]["cosine"] == 0.0 and not out[3]["contaminated"]
+    assert out[4]["cosine"] == 0.0 and not out[4]["contaminated"]
+
+
+def test_semantic_decontaminate_bench_is_broadcast(spark):
+    from entityresolution_capstone_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    bench = _vecs(spark, [(9, [1.0, 2.0])])
+    corpus = _vecs(spark, [(1, [2.0, 1.0]), (2, [3.0, 0.0])])
+    res = semantic_decontaminate(corpus, bench, dim=2, threshold=0.9)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the eval side must ride a broadcast, never a shuffle/cartesian on C x E
+    assert "Broadcast" in plan and "CartesianProduct" not in plan
