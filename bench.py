@@ -168,6 +168,8 @@ def run(spark, sf_dir: str) -> dict:
     state["docs"].unpersist()
     state["dft"].unpersist()
     state["pairs"].unpersist()
+    if state["dense"] is not None:
+        state["dense"].unpersist()
     # SPARK_GRAFT_BENCH_SCORE_ONLY=1: q_block + q_score only. Used by
     # tools/scaling_bench.py for the low-core level pairs — the efficiency
     # ratio is defined on q_score alone, and the other queries would triple

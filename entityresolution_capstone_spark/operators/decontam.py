@@ -131,7 +131,12 @@ def semantic_decontaminate(
     Engine-stable contract (the repo's oracle pattern): cosines are computed
     in float64 and rounded to 5 dp BEFORE the threshold compare and the
     argmax tie-break (ties -> lowest benchmark id), so Spark and the DuckDB
-    oracle agree bit-for-bit at rule boundaries.
+    oracle agree bit-for-bit at rule boundaries. The tie-break negates the
+    benchmark id inside a combinable ``max(struct)``, so ``bench_id_col``
+    must be numeric (validated below). Every corpus row appears in the
+    output — with an EMPTY benchmark side all rows report
+    ``(best_bench_id=NULL, cosine=0.0, contaminated=false)``, matching the
+    n-gram sibling's keep-everything contract.
 
     100-TB shape: the benchmark side is an eval suite — thousands of vectors,
     not billions — so it is **broadcast** and the corpus streams through one
@@ -141,6 +146,14 @@ def semantic_decontaminate(
     reach the exchange. For benchmark sides too large to broadcast, route
     through the IVF/LSH index in operators/similarity_search.py instead.
     """
+    from pyspark.sql.types import NumericType
+
+    bid_type = benchmark.schema[bench_id_col].dataType
+    if not isinstance(bid_type, NumericType):
+        raise ValueError(
+            f"bench_id_col {bench_id_col!r} must be numeric (got {bid_type}): "
+            "the argmax tie-break orders by negated id inside max(struct)"
+        )
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
@@ -162,14 +175,20 @@ def semantic_decontaminate(
     )
     # argmax(cos_r, tie -> lowest bench id) as ONE combinable aggregate:
     # max() over struct(cos_r, -bid) orders lexicographically
-    best = (
-        pairs.groupBy("_cid")
-        .agg(F.max(F.struct(F.col("_cos_r"), (-F.col("_bid")).alias("_nbid"))).alias("_m"))
+    best = pairs.groupBy("_cid").agg(
+        F.max(F.struct(F.col("_cos_r"), (-F.col("_bid")).alias("_nbid"))).alias("_m")
+    )
+    # left join back to the corpus so an empty (or filtered-out) benchmark
+    # side reports every row uncontaminated instead of dropping the corpus
+    return (
+        c.select("_cid")
+        .join(best, "_cid", "left")
         .select(
             F.col("_cid").alias(id_col),
             (-F.col("_m._nbid")).alias("best_bench_id"),
-            F.col("_m._cos_r").alias("cosine"),
-            (F.col("_m._cos_r") >= F.lit(threshold)).alias("contaminated"),
+            F.coalesce(F.col("_m._cos_r"), F.lit(0.0)).alias("cosine"),
+            F.coalesce(
+                F.col("_m._cos_r") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
         )
     )
-    return best

@@ -109,6 +109,14 @@ def _dense_tfidf_docs(docs, df_table, corpus_size, vocab):
     )
 
 
+def _dense_path_eligible(vocab: int, corpus_size: int | None) -> bool:
+    """ONE predicate for the dense-TF-IDF path, shared by
+    precompute_dense_tfidf and score_pairs_slim — if the two ever diverged,
+    bench.py could precompute None while scoring still takes the dense path
+    and silently re-derives the table inside the timed run."""
+    return vocab <= DENSE_TFIDF_MAX_VOCAB and (corpus_size or 0) <= DENSE_TFIDF_MAX_DOCS
+
+
 def precompute_dense_tfidf(
     docs: DataFrame, df_table: DataFrame, corpus_size: int
 ) -> DataFrame | None:
@@ -121,7 +129,7 @@ def precompute_dense_tfidf(
     ``dense_table`` so repeated scoring passes don't re-derive it.
     """
     vocab = df_table.count()
-    if vocab <= DENSE_TFIDF_MAX_VOCAB and (corpus_size or 0) <= DENSE_TFIDF_MAX_DOCS:
+    if _dense_path_eligible(vocab, corpus_size):
         return _dense_tfidf_docs(docs, df_table, corpus_size, vocab)
     return None
 
@@ -212,7 +220,7 @@ def score_pairs_slim(
         if df_table is None or corpus_size is None:
             raise ValueError("tfidf kernel needs df_table + corpus_size")
         vocab = df_table.count()
-        if vocab <= DENSE_TFIDF_MAX_VOCAB and (corpus_size or 0) <= DENSE_TFIDF_MAX_DOCS:
+        if _dense_path_eligible(vocab, corpus_size):
             # dense path: per-doc V-dim tf-idf arrays attached to the pair rows,
             # cosine = JVM zip_with dot product — ZERO shuffles after the
             # feature join, so this kernel scales like the char kernels. Only

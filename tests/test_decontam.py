@@ -124,3 +124,35 @@ def test_semantic_decontaminate_bench_is_broadcast(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     # the eval side must ride a broadcast, never a shuffle/cartesian on C x E
     assert "Broadcast" in plan and "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_empty_benchmark_keeps_corpus(spark):
+    from entityresolution_capstone_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    bench = _vecs(spark, []).filter("vec_id is not null")  # empty, same schema
+    corpus = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, bench, dim=2, threshold=0.5).collect()
+    }
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r["best_bench_id"] is None
+        assert r["cosine"] == 0.0 and not r["contaminated"]
+
+
+def test_semantic_decontaminate_rejects_non_numeric_bench_id(spark):
+    import pytest as _pytest
+
+    from entityresolution_capstone_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    corpus = _vecs(spark, [(1, [1.0, 0.0])])
+    with _pytest.raises(ValueError, match="must be numeric"):
+        semantic_decontaminate(corpus, bench, dim=2)

@@ -137,13 +137,43 @@ def test_median_window_estimator_overrides_pooled_min(sb):
 
 
 def test_even_window_count_takes_mean_of_middle_two(sb):
-    p = _pair(2, {"q_score": 100.0}, {"q_score": 30.0})
+    # ratios recomputed from the RAW seconds (display-rounded
+    # window_efficiency would double-round at the 0.8 gate boundary)
+    p = _pair(2, {"q_score": 96.0}, {"q_score": 30.0})
     p["trial_log"] = [
-        {"window": 1, "q_score_N": 100.0, "q_score_4N": 30.0, "window_efficiency": 0.8},
-        {"window": 2, "q_score_N": 100.0, "q_score_4N": 25.0, "window_efficiency": 0.9},
+        {"window": 1, "q_score_N": 96.0, "q_score_4N": 30.0, "window_efficiency": 0.8},
+        {"window": 2, "q_score_N": 96.0, "q_score_4N": 24.0, "window_efficiency": 1.0},
     ]
     sb._pool_levels([p])
-    assert p["scaling_efficiency"] == round((0.8 + 0.9) / 2, 3)
+    raw = (96.0 / (4 * 30.0) + 96.0 / (4 * 24.0)) / 2
+    assert p["scaling_efficiency"] == round(raw, 3)
+
+
+def test_median_uses_raw_seconds_not_rounded_ratios(sb):
+    # a stored 0.800 that is really 0.7995 must not read as gate-met
+    p = _pair(2, {"q_score": 102.4}, {"q_score": 32.0})
+    p["trial_log"] = [
+        {"window": 1, "q_score_N": 102.4, "q_score_4N": 32.0, "window_efficiency": 0.8},
+    ]
+    sb._pool_levels([p])
+    assert p["scaling_efficiency"] == round(102.4 / (4 * 32.0), 3) == 0.8
+    p2 = _pair(2, {"q_score": 102.2}, {"q_score": 32.0})
+    p2["trial_log"] = [
+        {"window": 1, "q_score_N": 102.2, "q_score_4N": 32.0, "window_efficiency": 0.8},
+    ]
+    sb._pool_levels([p2])
+    assert p2["scaling_efficiency"] == 0.798  # not the pre-rounded 0.800
+
+
+def test_merge_refuses_cross_protocol_pooling(sb):
+    prev = _pair(2, {"q_score": 51.0}, {"q_score": 20.0})
+    prev["protocol"] = "cold-levelpart-v1"
+    new = _pair(2, {"q_score": 272.0}, {"q_score": 84.0}, trials=2)
+    new["protocol"] = "steady-constpart-v2"
+    merged = sb._merge_pair(prev, new)
+    # the old-protocol 51s trial must NOT become the pooled min
+    assert merged["bench_N"]["queries"]["q_score"] == 272.0
+    assert merged["trials"] == 2
 
 
 def test_no_trial_log_falls_back_to_pooled_min(sb):

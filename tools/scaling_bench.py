@@ -24,6 +24,17 @@ import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The JOB's partitioning is a constant of the job, not of the level under
+# measurement (see _run_level_once); these two feed BOTH the subprocess env
+# and the spark-submit conf so they cannot drift apart.
+SHUFFLE_PARTITIONS = 32
+PAIR_PARTITIONS = 128
+
+# Measurement-protocol tag stored on every pair. _merge_pair refuses to
+# min-pool trials taken under different protocols (a pre-steady cold trial
+# pooled with steady trials would corrupt the committed gate evidence).
+PROTOCOL = "steady-constpart-v2"
+
 
 def make_pyfiles_zip() -> str:
     """Package the library for --py-files (the real cluster submission path)."""
@@ -119,8 +130,8 @@ def _run_level_once(cpus: int, sf_dir: str, pyfiles: str, score_only: bool = Fal
     # partition counts from the level under measurement hands the small
     # level bigger partitions → better per-task-overhead amortization → a
     # deflated ratio.
-    env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "32"
-    env["SPARK_GRAFT_BENCH_PARTITIONS"] = "128"
+    env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(SHUFFLE_PARTITIONS)
+    env["SPARK_GRAFT_BENCH_PARTITIONS"] = str(PAIR_PARTITIONS)
     if score_only:
         env["SPARK_GRAFT_BENCH_SCORE_ONLY"] = "1"
     spark_submit = shutil.which("spark-submit")
@@ -131,7 +142,7 @@ def _run_level_once(cpus: int, sf_dir: str, pyfiles: str, score_only: bool = Fal
             "--master", f"local[{cpus}]",
             "--driver-memory", mem,
             "--py-files", pyfiles,
-            "--conf", "spark.sql.shuffle.partitions=32",
+            "--conf", f"spark.sql.shuffle.partitions={SHUFFLE_PARTITIONS}",
             os.path.join(REPO, "bench.py"),
         ]
     else:  # fall back to plain python (same code path; bench builds the session)
@@ -187,7 +198,10 @@ def _pool_levels(pairs: list[dict]) -> None:
         # Pooled-min stays reported as the secondary (conservative) stat.
         tlog = p.get("trial_log") or []
         if tlog:
-            ratios = sorted(t["window_efficiency"] for t in tlog)
+            # ratios recomputed from the RAW per-window seconds — the stored
+            # window_efficiency is display-rounded to 3 dp, and a median of
+            # pre-rounded values double-rounds at the 0.8 gate boundary
+            ratios = sorted(t["q_score_N"] / (4 * t["q_score_4N"]) for t in tlog)
             m = len(ratios)
             med = ratios[m // 2] if m % 2 else (ratios[m // 2 - 1] + ratios[m // 2]) / 2
             p["scaling_efficiency"] = round(med, 3)
@@ -382,6 +396,21 @@ def _merge_pair(prev: dict | None, new: dict) -> dict:
     query in an otherwise-fast trial must not pin the whole table)."""
     if prev is None:
         return new
+    if prev.get("protocol") != new.get("protocol"):
+        # min-pooling across measurement protocols (cold vs steady, level-
+        # derived vs constant partitioning) would mix non-identical jobs
+        # into one noise-free estimate — discard the prior pair instead
+        print(
+            json.dumps(
+                {
+                    "merge_skipped": f"prior pair N={prev.get('N')} used protocol "
+                    f"{prev.get('protocol')!r}, current is {new.get('protocol')!r}; "
+                    "prior trials discarded"
+                }
+            ),
+            flush=True,
+        )
+        return new
     merged = dict(new)
     merged["trials"] = prev.get("trials", 0) + new["trials"]
     merged["trial_log"] = [
@@ -475,23 +504,27 @@ def main():
                 "bench_N": r_n,
                 "bench_4N": r_4n,
                 "trial_log": trial_log,
+                "protocol": PROTOCOL,
             }
         )
         if merge:
             results[-1] = _merge_pair(prior.get(n), results[-1])
             prior[n] = results[-1]
-        print(
-            json.dumps(
-                {"pair": f"{n}v{4*n}", "eff": results[-1]["scaling_efficiency"]}
-            ),
-            flush=True,
-        )
         if merge:
             # keep untouched prior pairs in the artifact, ordered by N
             merged_all = {**prior, **{p["N"]: p for p in results}}
             write_artifacts(sf_dir, [merged_all[k] for k in sorted(merged_all)])
         else:
             write_artifacts(sf_dir, results)
+        # after write_artifacts: _pool_levels has replaced the pre-pool ratio
+        # with the committed headline (same-window median), so the console
+        # line and BASELINE.md agree
+        print(
+            json.dumps(
+                {"pair": f"{n}v{4*n}", "eff": results[-1]["scaling_efficiency"]}
+            ),
+            flush=True,
+        )
 
     print(json.dumps({"sf_dir": sf_dir, "pairs": results}))
 
