@@ -93,20 +93,10 @@ def decontaminate(
     )
 
 
-def _static_dot(a: str, b: str, dim: int):
-    """Σ a[i]·b[i] as a STATIC expression over a plan-time-constant dim.
-
-    element_at ordinal access + scalar multiply-adds stay inside whole-stage
-    codegen; the ``zip_with``+``aggregate`` form is an interpreted
-    (codegen-fallback) expression pair that anti-scales at high in-JVM
-    concurrency on wide streams (docs/SCALE.md, round-3 law). Left-to-right
-    summation matches DuckDB's ``list_dot_product`` term order, so the
-    result is bit-identical across engines."""
-    dot = None
-    for i in range(dim):
-        term = F.element_at(a, i + 1) * F.element_at(b, i + 1)
-        dot = term if dot is None else dot + term
-    return dot
+# the static codegen-safe dot moved to functions/vector.py (round 4) so the
+# embedding dedup / ANN operators share one audited implementation; this
+# alias keeps the operator's provenance citation stable
+from ..functions.vector import static_dot as _static_dot  # noqa: E402
 
 
 def semantic_decontaminate(
@@ -154,13 +144,26 @@ def semantic_decontaminate(
             f"bench_id_col {bench_id_col!r} must be numeric (got {bid_type}): "
             "the argmax tie-break orders by negated id inside max(struct)"
         )
-    c = corpus.select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
+    from ..functions.vector import assert_dim
+
+    # fail loudly on a dim mismatch: under non-ANSI Spark, element_at past
+    # the array end is NULL -> cosine silently 0.0 -> EVERY row reports
+    # contaminated=false — a silent false-negative for a safety operator
+    c = assert_dim(
+        corpus.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        ),
+        "_cv",
+        dim,
     ).withColumn("_cn", F.sqrt(_static_dot("_cv", "_cv", dim)))
-    b = benchmark.select(
-        F.col(bench_id_col).alias("_bid"),
-        F.col(bench_vec_col).cast("array<double>").alias("_bv"),
+    b = assert_dim(
+        benchmark.select(
+            F.col(bench_id_col).alias("_bid"),
+            F.col(bench_vec_col).cast("array<double>").alias("_bv"),
+        ),
+        "_bv",
+        dim,
     ).withColumn("_bn", F.sqrt(_static_dot("_bv", "_bv", dim)))
 
     cos = (

@@ -103,6 +103,7 @@ def bucket_pairs(
     salt_factor: int = 8,
     payload_col: str | None = None,
     pair_filter=None,
+    keep_payload: bool = False,
 ) -> DataFrame:
     """(id1 < id2) pairs of ids sharing a bucket key, skew-safe, dedupe-cheap.
 
@@ -172,7 +173,12 @@ def bucket_pairs(
     for p in parts[1:]:
         out = out.unionByName(p)
     if pair_filter is not None:
-        return out.filter(pair_filter(F.col("p1"), F.col("p2"))).select("id1", "id2")
+        out = out.filter(pair_filter(F.col("p1"), F.col("p2")))
+        # keep_payload lets callers consume per-doc state (e.g. packed
+        # fingerprints) straight off the surviving pair rows instead of
+        # re-joining the doc table twice
+        cols = ["id1", "id2"] + (["p1", "p2"] if keep_payload else [])
+        return out.select(*cols)
     return out.select("id1", "id2").distinct()
 
 
@@ -561,49 +567,85 @@ def simhash_fingerprints(
     return agg.select("doc_id", bits.alias("bits"))
 
 
+def _simhash_band_val(fp, band: int, per_band: int):
+    """Band-`band` bit slice of a packed int64 fingerprint (pure bit ops)."""
+    return F.shiftright(fp, band * per_band).bitwiseAND(F.lit((1 << per_band) - 1))
+
+
+def make_simhash_first_band_match(bands: int, per_band: int):
+    """First-band-match over packed int64 fingerprints: keep the pair only in
+    the lowest band whose bit-slices agree — static OR/AND of shift/mask
+    compares, whole-stage codegen, ZERO per-row allocation. Replaces the
+    array<string> + zip_with/exists variant on the quadratic pair stream
+    (r3 measured law: interpreted HOF pair filters anti-scale 8→32 cores)."""
+
+    def pred(p1, p2):
+        earlier = F.lit(False)
+        for b in range(bands):
+            eq = _simhash_band_val(p1["fp"], b, per_band) == _simhash_band_val(
+                p2["fp"], b, per_band
+            )
+            earlier = earlier | ((F.lit(b) < p1["band"]) & eq)
+        return ~earlier
+
+    return pred
+
+
 def simhash_duplicates(documents: DataFrame, cfg: SimHashConfig | None = None) -> DataFrame:
-    """Banded SimHash near-dup pairs: (id1, id2, hamming <= max_hamming)."""
+    """Banded SimHash near-dup pairs: (id1, id2, hamming <= max_hamming).
+
+    Everything on the pair stream is flat int64 bit algebra (round 4): the
+    ``cfg.bits``-bit fingerprint packs into ONE long; a band key is a
+    shift/mask slice; the exactly-once band filter is a static compare chain
+    (:func:`make_simhash_first_band_match`); hamming distance is
+    ``bit_count(fp1 XOR fp2)``. Band-key equality and hamming are identical
+    to the previous array<string>/array<int> formulation (same bit sets,
+    different encoding), so the pair set and the DuckDB oracle are unchanged.
+    """
     cfg = cfg or SimHashConfig()
+    if cfg.bits > 63:
+        raise ValueError(f"packed SimHash supports bits <= 63, got {cfg.bits}")
     docs = prepare_docs(documents)
     tdict = dedup_token_dict(docs)
     fps = simhash_fingerprints(docs, tdict, cfg)
+    fp = None
+    for k in range(cfg.bits):
+        term = F.element_at("bits", k + 1).cast("long") * F.lit(1 << k)
+        fp = term if fp is None else fp + term
+    fps = fps.select("doc_id", fp.alias("fp"))
     per_band = cfg.bits // cfg.bands
-    band_keys = [
-        F.concat_ws(
-            "_",
-            F.lit(str(i)),
-            F.array_join(F.slice("bits", i * per_band + 1, per_band), ""),
-        )
-        for i in range(cfg.bands)
-    ]
-    buckets = (
-        fps.select("doc_id", F.array(*band_keys).alias("keys"))
-        .select("doc_id", "keys", F.posexplode("keys").alias("band", "bkey"))
-        .select("doc_id", "bkey", F.struct("band", "keys").alias("p"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                # distinct key space per band: band id in the high bits
+                (
+                    F.lit(b << per_band) + _simhash_band_val(F.col("fp"), b, per_band)
+                ).alias("bkey"),
+            )
+            for b in range(cfg.bands)
+        ]
+    )
+    buckets = fps.select("doc_id", "fp", F.explode(band_structs).alias("bs")).select(
+        "doc_id",
+        F.col("bs.bkey").alias("bkey"),
+        F.struct(F.col("bs.band").alias("band"), F.col("fp").alias("fp")).alias("p"),
     )
     cand = bucket_pairs(
         buckets,
         salt_bucket_size=cfg.salt_bucket_size,
         salt_factor=cfg.salt_factor,
         payload_col="p",
-        pair_filter=first_band_match,
+        pair_filter=make_simhash_first_band_match(cfg.bands, per_band),
+        keep_payload=True,
     )
-    f1 = fps.select(F.col("doc_id").alias("id1"), F.col("bits").alias("bits1"))
-    f2 = fps.select(F.col("doc_id").alias("id2"), F.col("bits").alias("bits2"))
-    return (
-        cand.join(f1, "id1")
-        .join(f2, "id2")
-        .select(
-            "id1",
-            "id2",
-            F.aggregate(
-                F.zip_with("bits1", "bits2", lambda x, y: F.abs(x - y)),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= cfg.max_hamming)
-    )
+    return cand.select(
+        "id1",
+        "id2",
+        F.bit_count(F.col("p1.fp").bitwiseXOR(F.col("p2.fp"))).cast("int").alias(
+            "hamming"
+        ),
+    ).filter(F.col("hamming") <= cfg.max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -651,14 +693,23 @@ def embedding_cosine_duplicates(
     Brute-force O(n²/2) by default (correct baseline); ``bucketed=True``
     restricts pairs to a shared random-hyperplane LSH bucket (the scale path;
     see similarity_search.lsh_bucket_keys).
+
+    The per-pair dot product and the per-doc norm are STATIC codegen
+    expressions over the plan-time-constant dim (functions/vector.py) — the
+    interpreted ``aggregate(zip_with(...))`` form they replace anti-scales at
+    high in-JVM concurrency on the quadratic pair stream (docs/SCALE.md,
+    round-3 law), and embedding dedup is a headline 100-TB workload.
+    Summation order is unchanged (strict left-to-right), so cosines are
+    bit-identical to the previous plan and to DuckDB ``list_dot_product``.
     """
+    from ..functions import vector as V
+    from .similarity_search import probe_dim
+
+    dim = probe_dim(embeddings, vec_col)
     v = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
+    ).withColumn("norm", V.static_norm("v", dim))
     if bucketed:
         from .similarity_search import lsh_bucket_keys
 
@@ -676,14 +727,9 @@ def embedding_cosine_duplicates(
         .select(
             "id1",
             "id2",
-            (
-                F.aggregate(
-                    F.zip_with("v1", "v2", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("n1") * F.col("n2"))
-            ).alias("cosine"),
+            (V.static_dot("v1", "v2", dim) / (F.col("n1") * F.col("n2"))).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -935,9 +981,11 @@ def semantic_duplicates(
         _ivf_quantized,
         _with_norm,
         ivf_index,
+        probe_dim,
     )
 
     spark = embeddings.sparkSession
+    dim = probe_dim(embeddings, vec_col)
     assign, cents = ivf_index(embeddings, n_cells, rounds, id_col, vec_col, seed)
     if max_cell_size is not None:
         hot = (
@@ -948,15 +996,17 @@ def semantic_duplicates(
         )
         assign = assign.join(F.broadcast(hot), "cid", "left_anti")
     cdf = spark.createDataFrame(cents, schema="cid int, s array<bigint>, cnt bigint")
-    qv = _ivf_quantized(embeddings, id_col, vec_col).select("id", "qe")
+    qv = _ivf_quantized(embeddings, id_col, vec_col, dim).select("id", "qe")
     own = (
         assign.join(qv, "id")
         .join(F.broadcast(cdf), "cid")
         .select(
-            "id", "cid", _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s")).alias("d")
+            "id",
+            "cid",
+            _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s"), dim).alias("d"),
         )
     )
-    side = own.join(_with_norm(embeddings, id_col, vec_col), "id")
+    side = own.join(_with_norm(embeddings, id_col, vec_col, dim), "id")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a = side.select(
         "cid",
@@ -983,7 +1033,9 @@ def semantic_duplicates(
             "id1",
             "id2",
             "d2",
-            _cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")).alias("cos"),
+            _cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"), dim).alias(
+                "cos"
+            ),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -1,7 +1,10 @@
 """Similarity search over embedding columns (array<float>).
 
 - brute-force cosine top-k: the exact baseline; broadcast the (small) query
-  set, JVM-side dot products (zip_with + aggregate), window top-k.
+  set, JVM-side dot products (static whole-stage-codegen expressions over a
+  plan-time-constant dim — functions/vector.py; the interpreted
+  zip_with+aggregate form anti-scales at high in-JVM concurrency), window
+  top-k.
 - LSH-bucketed ANN: deterministic random-hyperplane signatures with *integer*
   plane vectors (derived from index arithmetic, no RNG) so the bucketing is
   exactly reproducible in ANSI SQL for the correctness oracle. Candidates are
@@ -15,21 +18,35 @@ plane-set; bucket skew is handled the same way as blocking skew (cap + report).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import vector as V
 
 
-def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(
+def probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from the first row (one tiny job). Dim must be a
+    plan-time constant so the dot products unroll into static codegen
+    expressions (functions/vector.py) instead of interpreted array HOFs."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return 1  # empty input: any positive constant yields an empty result
+    return int(first["d"])
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    v = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     )
+    return v.withColumn("norm", V.static_norm("v", dim))
 
 
-def _cosine(v1, v2, n1, n2):
-    dot = F.aggregate(F.zip_with(v1, v2, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+def _cosine(v1, v2, n1, n2, dim: int):
+    dot = V.static_dot(v1, v2, dim)
     return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(0.0))
 
 
@@ -41,8 +58,9 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank<=k), exact. Queries are broadcast."""
-    c = _with_norm(corpus, id_col, vec_col)
-    q = _with_norm(queries, id_col, vec_col).select(
+    dim = probe_dim(corpus, vec_col)
+    c = _with_norm(corpus, id_col, vec_col, dim)
+    q = _with_norm(queries, id_col, vec_col, dim).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
     scored = (
@@ -51,7 +69,9 @@ def brute_force_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm")).alias("cosine"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm"), dim).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -78,28 +98,50 @@ def lsh_bucket_keys(
     recall/candidate-count dial). dim is taken from the data (first row);
     planes are fixed functions of (table, plane, dim) index so SQL oracles
     regenerate them identically.
+
+    Implementation (round 4): ONE Arrow-batched NumPy matmul per batch —
+    inputs are fixed-point quantized (x → floor(1000·x + 0.5), int64) so
+    every plane dot is EXACT integer arithmetic, association-independent,
+    bit-reproducible in the DuckDB oracle regardless of summation order.
+    The earlier per-plane static Column unroll was correct but hit the JVM
+    64 KB method limit at 8 planes × dim 64 inside whole-stage codegen
+    (Generate stages can't split oversized expression code) and silently
+    fell back to interpreted evaluation; n_tables·n_planes·dim multiply-adds
+    per row is exactly the shape a vectorized C kernel should own. No
+    per-row Python anywhere (north rule).
     """
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
+    from functools import reduce
+
+    dim = probe_dim(embeddings, vec_col)
+    coeffs = np.array(
+        [
+            [_plane_coeff(t * n_planes + p, d) for d in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )  # (n_tables * n_planes, dim)
+    prefixes = [f"{t}:" for t in range(n_tables)]
+
+    @pandas_udf("array<string>")
+    def _bucket_keys(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.asarray(vs.tolist(), dtype="float64")  # (n, dim)
+        q = np.floor(m * 1000.0 + 0.5).astype(np.int64)  # exact fixed-point
+        bits = (q @ coeffs.T) > 0  # (n, n_tables * n_planes), exact int64
+        sbits = np.where(bits, "1", "0")  # (n, T*P) of '<U1'
+        per_table = []
+        for t in range(n_tables):  # vectorized column-wise string concat
+            s = reduce(np.char.add, [sbits[:, t * n_planes + p] for p in range(n_planes)])
+            per_table.append(np.char.add(prefixes[t], s))
+        return pd.Series(np.stack(per_table, axis=1).tolist())
+
     v = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    keys = []
-    for t in range(n_tables):
-        bits = [F.lit(f"{t}:")]
-        for p in range(n_planes):
-            coeffs = F.array(
-                *[F.lit(float(_plane_coeff(t * n_planes + p, d))) for d in range(dim)]
-            )
-            dot = F.aggregate(
-                F.zip_with(F.col("v"), coeffs, lambda x, c: x * c),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-        keys.append(F.concat(*bits))
-    return v.select("id", F.explode(F.array(*keys)).alias("bucket"))
+    return v.select("id", F.explode(_bucket_keys("v")).alias("bucket"))
 
 
 def bucket_size_metrics(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
@@ -143,8 +185,9 @@ def ann_topk(
     qb = lsh_bucket_keys(queries, id_col, vec_col, n_planes, n_tables).select(
         F.col("id").alias("query_id"), "bucket"
     )
-    c = _with_norm(corpus, id_col, vec_col)
-    q = _with_norm(queries, id_col, vec_col).select(
+    dim = probe_dim(corpus, vec_col)
+    c = _with_norm(corpus, id_col, vec_col, dim)
+    q = _with_norm(queries, id_col, vec_col, dim).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
     cand = (
@@ -160,7 +203,9 @@ def ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm")).alias("cosine"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm"), dim).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -197,23 +242,34 @@ def ann_topk(
 IVF_QUANT = 1000
 
 
-def _ivf_quantized(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return embeddings.select(
+def _ivf_quantized(
+    embeddings: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    # static array constructor (not F.transform — interpreted HOF): one
+    # fixed-width projection per corpus row, inside whole-stage codegen
+    v = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "qe",
-        F.transform("v", lambda x: F.floor(x * IVF_QUANT + F.lit(0.5)).cast("long")),
     )
+    qe = F.array(
+        *[
+            F.floor(F.element_at("v", i + 1) * IVF_QUANT + F.lit(0.5)).cast("long")
+            for i in range(dim)
+        ]
+    )
+    return v.withColumn("qe", qe)
 
 
-def _ivf_dist(cnt_col, qe_col, s_col):
-    """Exact int64 numerator, one double division: d(x, S/c)·c² / c²."""
-    num = F.aggregate(
-        F.zip_with(qe_col, s_col, lambda x, sj: (cnt_col * x - sj) * (cnt_col * x - sj)),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+def _ivf_dist(cnt_col, qe_col, s_col, dim: int):
+    """Exact int64 numerator, one double division: d(x, S/c)·c² / c².
+
+    Static unroll over the plan-time-constant dim (integer arithmetic, so
+    association order is irrelevant — exactness is unconditional)."""
+    num = None
+    for i in range(dim):
+        diff = cnt_col * F.element_at(qe_col, i + 1) - F.element_at(s_col, i + 1)
+        term = diff * diff
+        num = term if num is None else num + term
     return num.cast("double") / (cnt_col * cnt_col).cast("double")
 
 
@@ -232,8 +288,8 @@ def ivf_index(
     vector to its final cell (the IVF "posting lists", kept distributed).
     """
     spark = embeddings.sparkSession
-    v = _ivf_quantized(embeddings, id_col, vec_col).select("id", "qe")
-    dim = len(v.select("qe").first()["qe"])
+    dim = probe_dim(embeddings, vec_col)
+    v = _ivf_quantized(embeddings, id_col, vec_col, dim).select("id", "qe")
     seeds = (
         v.withColumn("hk", (F.lit(48271) * F.col("id") + F.lit(seed)) % F.lit(2147483647))
         .orderBy("hk", "id")
@@ -249,7 +305,7 @@ def ivf_index(
         scored = v.crossJoin(F.broadcast(cdf)).select(
             "id",
             "cid",
-            _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s")).alias("d"),
+            _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s"), dim).alias("d"),
         )
         return scored.groupBy("id").agg(
             F.min_by("cid", F.struct("d", "cid")).alias("cid")
@@ -292,12 +348,13 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     assign, cents = ivf_index(corpus, n_cells, rounds, id_col, vec_col, seed)
+    dim = len(cents[0][1])
     cdf = spark.createDataFrame(cents, schema="cid int, s array<bigint>, cnt bigint")
-    qv = _ivf_quantized(queries, id_col, vec_col)
+    qv = _ivf_quantized(queries, id_col, vec_col, dim)
     probe_scored = qv.select("id", "qe").crossJoin(F.broadcast(cdf)).select(
         F.col("id").alias("query_id"),
         "cid",
-        _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s")).alias("d"),
+        _ivf_dist(F.col("cnt"), F.col("qe"), F.col("s"), dim).alias("d"),
     )
     wp = Window.partitionBy("query_id").orderBy("d", "cid")
     probes = (
@@ -305,8 +362,8 @@ def ivf_topk(
         .filter(F.col("prank") <= nprobe)
         .select("query_id", "cid")
     )
-    c = _with_norm(corpus, id_col, vec_col)
-    q = _with_norm(queries, id_col, vec_col).select(
+    c = _with_norm(corpus, id_col, vec_col, dim)
+    q = _with_norm(queries, id_col, vec_col, dim).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
     cand = (
@@ -320,7 +377,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm")).alias("cosine"),
+            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm"), dim).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -345,30 +404,33 @@ def random_project(
     EXACT int64 sum — order-independent, bit-identical in the SQL oracle —
     with one final double division undoing the scale.
 
-    Pure per-row Column algebra (transform + aggregate inside codegen): no
-    shuffle, no UDF, no driver-side matrix.
+    Implementation: one Arrow-batched NumPy int64 matmul per batch (out_dim ×
+    dim multiply-adds per row is past the JVM 64 KB codegen ceiling as a
+    static Column unroll — same story as :func:`lsh_bucket_keys`); the final
+    scale-undoing division + rounding stays JVM-side so it is identical to
+    the SQL oracle's ``round(y / 1000, 6)``.
     """
+    dim = probe_dim(embeddings, vec_col)
+    coeffs = np.array(
+        [[_plane_coeff(j, i) for i in range(dim)] for j in range(out_dim)],
+        dtype=np.int64,
+    )  # (out_dim, dim)
+
+    @pandas_udf("array<bigint>")
+    def _project(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.asarray(vs.tolist(), dtype="float64")
+        q = np.floor(m * float(IVF_QUANT) + 0.5).astype(np.int64)
+        y = q @ coeffs.T  # exact int64: |y| <= dim * 8 * max|qe| << 2^63
+        return pd.Series(y.tolist())
+
     q = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: F.floor(x * IVF_QUANT + F.lit(0.5)).cast("long"),
-        ).alias("qe"),
+        _project(F.col(vec_col).cast("array<double>")).alias("ys"),
     )
-    def _term(j: int):
-        # closure (not a default arg: PySpark inspects lambda arity)
-        return lambda x, i: x * ((F.lit(j * 131) + i * 137 + 41) % 17 - 8).cast("long")
-
-    comps = []
-    for j in range(out_dim):
-        y = F.aggregate(
-            F.transform("qe", _term(j)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        comps.append(F.struct(F.lit(j).cast("long").alias("out_dim"), y.alias("y")))
-    return q.select("id", F.explode(F.array(*comps)).alias("c")).select(
+    return q.select("id", F.posexplode("ys").alias("out_dim", "y")).select(
         F.col("id"),
-        F.col("c.out_dim").alias("out_dim"),
-        F.round(F.col("c.y") / F.lit(float(IVF_QUANT)), 6).alias("value"),
+        F.col("out_dim").cast("long").alias("out_dim"),
+        F.round(F.col("y") / F.lit(float(IVF_QUANT)), 6).alias("value"),
     )

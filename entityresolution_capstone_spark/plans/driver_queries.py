@@ -1173,11 +1173,16 @@ def q_dedup_embedding(spark, sf_dir):
 
 def _bucket_expr_sql(n_planes: int = 8, dim: int = 64, table: int = 0) -> str:
     """DuckDB expression reproducing similarity_search.lsh_bucket_keys for one
-    plane table (integer plane coefficients — exact in both engines)."""
+    plane table. Since round 4 the signature is fully fixed-point (inputs
+    quantized floor(1000·x + 0.5), integer plane coefficients): every dot is
+    exact int64, so parity is unconditional — no FP association-order
+    dependence between engines."""
     bit_exprs = []
     for p in range(n_planes):
         terms = " + ".join(
-            f"e[{d + 1}] * ({S._plane_coeff(table * n_planes + p, d)})" for d in range(dim)
+            f"cast(floor(e[{d + 1}] * 1000 + 0.5) as bigint)"
+            f" * ({S._plane_coeff(table * n_planes + p, d)})"
+            for d in range(dim)
         )
         bit_exprs.append(f"case when ({terms}) > 0 then '1' else '0' end")
     return f"'{table}:' || " + " || ".join(bit_exprs)
@@ -1229,10 +1234,13 @@ def q_ann_buckets(spark, sf_dir):
 
 
 def _ann_buckets_sql(n_planes: int = 8, dim: int = 64) -> str:
+    # quantized fixed-point dots (see _bucket_expr_sql): exact in both engines
     bit_exprs = []
     for p in range(n_planes):
         terms = " + ".join(
-            f"e[{d + 1}] * ({S._plane_coeff(p, d)})" for d in range(dim)
+            f"cast(floor(e[{d + 1}] * 1000 + 0.5) as bigint)"
+            f" * ({S._plane_coeff(p, d)})"
+            for d in range(dim)
         )
         bit_exprs.append(f"case when ({terms}) > 0 then '1' else '0' end")
     concat = " || ".join(bit_exprs)
@@ -4802,9 +4810,14 @@ best as (
                               order by cos_r desc, bid) as rk
     from cosr
 )
-select vec_id, bid as best_bench_id, cos_r as cosine,
-       cos_r >= 0.2 as contaminated
-from best where rk = 1"""
+-- left join from the corpus mirrors the operator's keep-everything contract:
+-- with an EMPTY benchmark side every corpus row still comes back
+-- (best_bench_id NULL, cosine 0.0, contaminated false) instead of the
+-- row_number-over-cross-join silently returning zero rows (ADVICE r3)
+select c.id as vec_id, b.bid as best_bench_id,
+       coalesce(b.cos_r, 0.0) as cosine,
+       coalesce(b.cos_r >= 0.2, false) as contaminated
+from corpus c left join (select * from best where rk = 1) b on b.vec_id = c.id"""
 
 QUERIES["decontam_semantic"] = q_decontam_semantic
 ORACLES["decontam_semantic"] = SQL_DECONTAM_SEMANTIC

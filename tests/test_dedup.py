@@ -248,7 +248,7 @@ def test_semantic_duplicates_matches_numpy_emulator(spark):
     cell = {r["id"]: r["cid"] for r in assign.collect()}
     qe = {
         r["id"]: np.array(r["qe"], dtype=np.int64)
-        for r in _ivf_quantized(emb, "vec_id", "embedding").select("id", "qe").collect()
+        for r in _ivf_quantized(emb, "vec_id", "embedding", 64).select("id", "qe").collect()
     }
     cmap = {cid: (np.array(s, dtype=np.int64), cnt) for cid, s, cnt in cents}
     vecs = {
