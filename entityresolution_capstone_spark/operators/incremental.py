@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import blocking as B
-from .blocking import BlockingConfig, _first_key_match
+from .blocking import BlockingConfig, _attach_key_payload, _first_key_match
 from .scoring import ScoringConfig, score_pairs_slim
 from ..functions.tfidf import doc_frequencies
 
@@ -84,18 +84,10 @@ def cross_candidate_pairs(
         "block_key",
         "left_anti",
     )
-    doc_keys = kept.groupBy("conv_id").agg(
-        F.array_sort(F.collect_list("block_key")).alias("_keys")
-    )
-    kept = kept.join(doc_keys, "conv_id").select(
-        "conv_id",
-        "block_key",
-        "_new",
-        F.struct(
-            F.array_position("_keys", F.col("block_key")).alias("rank"),
-            F.col("_keys").alias("keys"),
-        ).alias("_p"),
-    )
+    # dense-id payload + Arrow-kernel predicate (same machinery as
+    # candidate_pairs — see blocking._attach_key_payload/_pair_key_stats);
+    # _new rides along
+    kept = _attach_key_payload(kept)
     n_part = shuffle_partitions or int(
         blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
