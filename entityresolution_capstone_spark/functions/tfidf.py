@@ -132,6 +132,8 @@ def soft_tfidf_pairs(
     id2: str = "id2",
     id_col: str = "conv_id",
     tokens_col: str = "tokens",
+    max_cross_per_pair: int | None = None,
+    broadcast_sims: bool = False,
 ) -> DataFrame:
     """DISTRIBUTED soft-TF-IDF for candidate pairs: (id1, id2, stfidf).
 
@@ -158,6 +160,32 @@ def soft_tfidf_pairs(
     Numerically equal to the UDF kernel up to float summation order
     (pinned in tests); the tf-idf weight is computed as ``(tf * N) / df``
     in exactly that association so a SQL oracle can replay it bit-for-bit.
+
+    Scale dials (round 4, VERDICT r3 item 5):
+
+    - the cross stream is pruned to ``s > threshold`` BEFORE the two
+      per-direction argmax/sum aggregations. Exact: a source token whose
+      best target has ``s <= threshold`` contributes 0 either way, and when
+      the max exceeds the threshold the argmax winner (ties: min target
+      pos) is itself above it, so dropping sub-threshold rows changes
+      neither the winner nor the sum (contributions are >= 0; adding 0.0
+      terms is an IEEE no-op). On random-token corpora this drops the
+      aggregate input several-fold.
+    - ``max_cross_per_pair``: pairs whose token-unique cross size
+      ``|u1|*|u2|`` exceeds the cap NEVER enter the cross stream and come
+      back with ``stfidf`` NULL — explicitly *unscored*, distinguishable
+      from a true 0.0 (no silent caps: count NULLs to audit). Bounds the
+      one superlinear stream (Σ|u1|·|u2| grows with document width, not
+      corpus size) at 100-TB scale; default None scores everything.
+    - ``broadcast_sims``: hash-broadcast the (distinct, super-threshold)
+      token-pair similarity table into the cross-stream join — correct
+      whenever that table fits an executor (it is DISTINCT token pairs
+      AFTER the threshold cut, typically orders of magnitude below the
+      cross stream). Default False: at 100-TB token-pair cardinality can
+      be too wide to ship, and AQE's runtime broadcast conversion makes
+      the call from actual sizes instead.
+    - when ``symmetric``, the joined stream is persisted (both direction
+      aggregates consume it; Spark evicts it LRU after the job).
     """
     kernel = _SECONDARY[second_sim]
 
@@ -191,15 +219,37 @@ def soft_tfidf_pairs(
         F.col(id_col).alias(id2), F.col("token").alias("y"),
         F.col("pos").alias("pos2"), F.col("w").alias("w2"),
     )
-    cross = pairs.select(id1, id2).join(t1, id1).join(t2, id2)
-    sims = (
+    base = pairs.select(id1, id2)
+    capped = None
+    if max_cross_per_pair is not None:
+        ucnt = stats.groupBy(id_col).agg(F.count("*").alias("u"))
+        base = (
+            base.join(ucnt.select(F.col(id_col).alias(id1), F.col("u").alias("_u1")), id1)
+            .join(ucnt.select(F.col(id_col).alias(id2), F.col("u").alias("_u2")), id2)
+        )
+        capped = base.filter(
+            F.col("_u1") * F.col("_u2") > max_cross_per_pair
+        ).select(id1, id2)
+        base = base.filter(F.col("_u1") * F.col("_u2") <= max_cross_per_pair).select(
+            id1, id2
+        )
+    cross = base.join(t1, id1).join(t2, id2)
+    # s > threshold pruned on the SIMS side, before the join back into the
+    # cross stream — exactness argument in the docstring; the join and both
+    # per-direction aggregations now see only rows that can contribute
+    sims_pos = (
         cross.select("x", "y").distinct()
         .withColumn("s", sim_udf(F.col("x"), F.col("y")))
+        .filter(F.col("s") > F.lit(threshold))
     )
-    crossed = cross.join(sims, ["x", "y"])
-    contrib = lambda w_src, w_best, s: F.when(  # noqa: E731
-        s > F.lit(threshold), w_src * w_best * s
-    ).otherwise(F.lit(0.0))
+    if broadcast_sims:
+        sims_pos = F.broadcast(sims_pos)
+    crossed = cross.join(sims_pos, ["x", "y"])
+    if symmetric:
+        # both directions consume the joined stream — materialize once
+        # instead of re-running the cross build + kernel for num21
+        crossed = crossed.persist()
+    contrib = lambda w_src, w_best, s: w_src * w_best * s  # noqa: E731
     best12 = (
         crossed.groupBy(id1, id2, "x")
         .agg(
@@ -248,10 +298,16 @@ def soft_tfidf_pairs(
         )
     )
     # pairs with an empty-token side never enter the cross stream; the kernel
-    # scores them 0.0 — restore them so the row set equals `pairs`
-    return pairs.select(id1, id2).join(scored, [id1, id2], "left").select(
-        id1, id2, F.coalesce("stfidf", F.lit(0.0)).alias("stfidf")
-    )
+    # scores them 0.0 — restore them so the row set equals `pairs`. Pairs
+    # dropped by max_cross_per_pair stay NULL (unscored, not 0.0).
+    out = pairs.select(id1, id2).join(scored, [id1, id2], "left")
+    score = F.coalesce("stfidf", F.lit(0.0))
+    if capped is not None:
+        out = out.join(
+            capped.withColumn("_capped", F.lit(True)), [id1, id2], "left"
+        )
+        score = F.when(F.col("_capped"), F.lit(None).cast("double")).otherwise(score)
+    return out.select(id1, id2, score.alias("stfidf"))
 
 
 def soft_tfidf_raw(

@@ -4556,7 +4556,14 @@ def q_er_pairs_stfidf(spark, sf_dir):
     if "n_docs" not in st:
         st["n_docs"] = st["docs"].count()
     out = soft_tfidf_pairs(
-        pairs, st["docs"], st["dft"], st["n_docs"], threshold=0.5
+        pairs,
+        st["docs"],
+        st["dft"],
+        st["n_docs"],
+        threshold=0.5,
+        # the distinct super-threshold token-pair table is tiny at every
+        # test SF (~10^2-10^4 rows) — ship it map-side
+        broadcast_sims=True,
     )
     return out.select("id1", "id2", F.round("stfidf", 6).alias("stfidf"))
 
