@@ -15,6 +15,12 @@ Headline queries (the pipeline's hot path + the training-data operators):
 The headline metric is candidate-pairs-scored/sec from q_score, per the north
 rule. Scaling evidence between two parallelism levels is produced by
 tools/scaling_bench.py (writes BENCH/BASELINE.md).
+
+Noise protocol (r4): every query runs SPARK_GRAFT_BENCH_TRIALS times
+(default 3; 1 under the scaling harness, which owns its own trial protocol)
+and the artifact reports the MIN plus the full per-trial list under
+"protocol" — single cold runs on this host drift 4-6x between sessions, so
+round-over-round tables built from them encode host noise, not code changes.
 """
 
 from __future__ import annotations
@@ -34,11 +40,36 @@ def run(spark, sf_dir: str) -> dict:
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    trials: dict[str, list[float]] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        n = fn()
-        timings[name] = round(time.time() - t0, 3)
+    # Min-of-k per query (VERDICT r3 item 4): single cold runs on this host
+    # drift 4-6x between sessions (q_winnow read 2.8s and 196.5s on identical
+    # code), so the official artifact reports min over k trials plus the full
+    # trial list — it self-interprets without a narrative section. Under the
+    # scaling harness (STEADY / SCORE_ONLY / CORE_ONLY set) the harness owns
+    # the trial protocol, so default to 1 there.
+    _harness = any(
+        os.environ.get(v) == "1"
+        for v in (
+            "SPARK_GRAFT_BENCH_STEADY",
+            "SPARK_GRAFT_BENCH_SCORE_ONLY",
+            "SPARK_GRAFT_BENCH_CORE_ONLY",
+        )
+    )
+    n_trials = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "1" if _harness else "3"))
+    )
+
+    def timed(name, fn, teardown=None):
+        ts, n = [], 0
+        for i in range(n_trials):
+            if i and teardown is not None:
+                teardown()
+            t0 = time.time()
+            n = fn()
+            ts.append(round(time.time() - t0, 3))
+        timings[name] = min(ts)
+        trials[name] = ts
         counts[name] = n
         return n
 
@@ -131,7 +162,17 @@ def run(spark, sf_dir: str) -> dict:
         state.update(docs=docs, dft=dft, pairs=pairs, n_docs=n_docs, dense=dense)
         return n_pairs
 
-    timed("q_block", block_only)
+    def release_block_state():
+        # between q_block trials: drop the previous trial's persisted frames
+        # so each trial pays its own materialization (the Arrow worker pool
+        # and JVM JIT stay warm across trials — that is what min-of-k
+        # estimates: the plan's steady-state wall, not process boot)
+        for k in ("docs", "dft", "pairs", "dense"):
+            df = state.get(k)
+            if df is not None and hasattr(df, "unpersist"):
+                df.unpersist()
+
+    timed("q_block", block_only, teardown=release_block_state)
 
     def score_only():
         scored = score_pairs_slim(
@@ -174,8 +215,10 @@ def run(spark, sf_dir: str) -> dict:
     # tools/scaling_bench.py for the low-core level pairs — the efficiency
     # ratio is defined on q_score alone, and the other queries would triple
     # each pinned local[2] trial's wall time for no signal in the ratio.
-    if os.environ.get("SPARK_GRAFT_BENCH_SCORE_ONLY", "") == "1":
-        pairs_per_sec = counts["q_score"] / timings["q_score"] if timings["q_score"] else 0.0
+    def result():
+        pairs_per_sec = (
+            counts["q_score"] / timings["q_score"] if timings["q_score"] else 0.0
+        )
         return {
             "metric": "candidate_pairs_scored_per_sec",
             "value": round(pairs_per_sec, 1),
@@ -183,9 +226,47 @@ def run(spark, sf_dir: str) -> dict:
             "queries": timings,
             "rows": counts,
             "sf": sf_dir,
+            # self-describing protocol (ADVICE r3: cross-round headline
+            # comparisons must not depend on a narrative section)
+            "protocol": {
+                "version": "r4-min-of-k",
+                "trials_per_query": n_trials,
+                "estimator": "min" if n_trials > 1 else "single",
+                "trials": trials,
+                "metric_definition": (
+                    "q_score walls ONLY the scoring job over pre-materialized "
+                    "candidate pairs; token dictionary, pair enumeration, "
+                    "per-doc dense TF-IDF featurization and Arrow-worker boot "
+                    "are pipeline prep paid once in q_block (protocol since "
+                    "r3 — r1/r2 headlines measured prep inside q_score and "
+                    "are not comparable)"
+                ),
+            },
             "provenance": _provenance(spark),
         }
-    timed("q_pipeline", lambda: DQ.q_er_clusters(spark, sf_dir).count())
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCORE_ONLY", "") == "1":
+        return result()
+    def clear_er_frontier():
+        # q_er_clusters memoizes its whole frontier chain (docs -> blocks ->
+        # pairs -> scored -> clusters) in DQ._FRONTIER_CACHE; without clearing
+        # it, min-of-k trials 2+ would measure a dict lookup, not the
+        # pipeline. Trials stay cold w.r.t. DATA while JVM JIT / Arrow
+        # workers stay warm — the same steady-state contract as q_block.
+        for st in DQ._FRONTIER_CACHE.values():
+            for v in st.values():
+                if hasattr(v, "unpersist"):
+                    try:
+                        v.unpersist()
+                    except Exception:
+                        pass
+        DQ._FRONTIER_CACHE.clear()
+
+    timed(
+        "q_pipeline",
+        lambda: DQ.q_er_clusters(spark, sf_dir).count(),
+        teardown=clear_er_frontier,
+    )
     timed("q_dedup", lambda: DQ.q_dedup_minhash(spark, sf_dir).count())
     timed("q_topk", lambda: DQ.q_sim_topk(spark, sf_dir).count())
 
@@ -206,16 +287,7 @@ def run(spark, sf_dir: str) -> dict:
         timed("q_prefix", lambda: DQ.q_dedup_prefix(spark, sf_dir).count())
         timed("q_winnow", lambda: DQ.q_fingerprint_winnow(spark, sf_dir).count())
 
-    pairs_per_sec = counts["q_score"] / timings["q_score"] if timings["q_score"] else 0.0
-    return {
-        "metric": "candidate_pairs_scored_per_sec",
-        "value": round(pairs_per_sec, 1),
-        "unit": "pairs/sec",
-        "queries": timings,
-        "rows": counts,
-        "sf": sf_dir,
-        "provenance": _provenance(spark),
-    }
+    return result()
 
 
 def _provenance(spark) -> dict:

@@ -46,7 +46,22 @@ def dense_rank_ids(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = parted.withColumn("_rn", F.row_number().over(w))
+    # PERSIST is load-bearing, not an optimization. `local` feeds BOTH the
+    # per-partition counts and the final join; without materialization each
+    # branch physically re-evaluates the repartitionByRange exchange, and
+    # RangePartitioner re-SAMPLES its boundaries per evaluation (the sampling
+    # seed incorporates the runtime RDD id, so two evaluations of the same
+    # plan land different boundaries whenever Catalyst doesn't reuse the
+    # exchange — column pruning on the counts branch is enough to break
+    # reuse). `_pid` then names DIFFERENT range slices in the two branches
+    # and the offset join composes ranks from mismatched boundary sets —
+    # observed as silently corrupted ids (Abt-Buy blocking recall 0.99 ->
+    # 0.46 when _attach_key_payload's cur/keys branches disagreed). With the
+    # persist, boundaries are sampled once and every consumer reads the same
+    # materialization; the cache is one row per DISTINCT key (key cardinality,
+    # orders of magnitude below doc/pair cardinality) and spills to disk
+    # under memory pressure (MEMORY_AND_DISK default).
+    local = parted.withColumn("_rn", F.row_number().over(w)).persist()
     # per-partition counts -> exclusive prefix sums; numPartitions rows, so the
     # partition-less window here is over a tiny table, not the vocabulary
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))

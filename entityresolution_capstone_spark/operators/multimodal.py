@@ -3,11 +3,14 @@
 Images / audio / video ride through the pipeline as ``binary`` columns with a
 typed metadata struct. The Spark-side machinery here is real and tested —
 schema, partition-preserving ``mapInPandas`` decode, Arrow batch shapes,
-deterministic feature extraction — while the actual codec step is STUBBED
-(this container has no image/audio libraries): ``decode_media`` tries the real
-decoder import and otherwise produces a clearly-marked deterministic fake
-feature vector derived from the payload bytes. Swapping in a real decoder
-changes one function, not the plan.
+deterministic feature extraction. The codec step is import-gated per kind:
+``image`` decodes via PIL when installed (grayscale 4x4 thumbnail features),
+``audio`` decodes RIFF/WAV via the stdlib ``wave`` module (energy-envelope
+bins — exercised for real in this container's tests), and anything that
+fails to decode falls back to a clearly-marked deterministic stub feature
+vector derived from the payload bytes (the ``decoder`` output column says
+which path ran). Swapping in further decoders changes one function, not the
+plan.
 """
 
 from __future__ import annotations
@@ -71,16 +74,62 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
-def _try_real_decoder(kind: str):
-    """Import the real codec if present; None in this container."""
-    try:  # pragma: no cover - libs absent in the sandbox
-        if kind == "image":
-            from PIL import Image  # noqa: F401
+def _decode_image_real(payload: bytes, dim: int = FEATURE_DIM):
+    """Real image decode via PIL (import-gated; absent in this container).
 
-            return "PIL"
+    Decodes the payload, converts to grayscale, resizes to a 4x4 thumbnail
+    (sqrt(dim) x sqrt(dim)) and returns the pixel intensities in [0, 1) —
+    a real, deterministic feature of the actual image content. Returns
+    ``(features, "real:PIL")`` or ``None`` when PIL is missing or the bytes
+    are not a decodable image (caller falls back to the stub).
+    """
+    try:  # pragma: no cover - PIL absent in the sandbox
+        import io
+
+        from PIL import Image
     except ImportError:
-        pass
-    return None
+        return None
+    try:  # pragma: no cover - PIL absent in the sandbox
+        side = int(dim**0.5)
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        arr = np.asarray(img, dtype=np.float64).reshape(-1) / 256.0
+        if arr.size < dim:
+            arr = np.pad(arr, (0, dim - arr.size))
+        return arr[:dim], "real:PIL"
+    except Exception:
+        return None
+
+
+def _decode_audio_real(payload: bytes, dim: int = FEATURE_DIM):
+    """Real audio decode via the stdlib ``wave`` module (always available).
+
+    Parses a RIFF/WAV payload and computes ``dim`` mean-absolute-amplitude
+    bins across the sample stream, normalized by the format's full scale —
+    a real energy-envelope feature of the actual audio. Returns
+    ``(features, "real:wave")`` or ``None`` when the bytes are not a valid
+    WAV (caller falls back to the stub).
+    """
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None or not frames:
+            return None
+        samples = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+        if width == 1:  # 8-bit WAV is unsigned, centered at 128
+            samples = samples - 128.0
+        full_scale = float(2 ** (8 * width - 1))
+        mag = np.abs(samples) / full_scale
+        # dim equal-width bins over the sample stream (tail bin may be short)
+        bins = np.array_split(mag, dim)
+        feats = np.array([b.mean() if b.size else 0.0 for b in bins])
+        return feats, "real:wave"
+    except Exception:
+        return None
 
 
 def _stub_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -101,6 +150,8 @@ def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     each Arrow batch is processed vectorized; per-payload hashing is the only
     per-element work (inherent to decoding)."""
 
+    real_decoders = {"image": _decode_image_real, "audio": _decode_audio_real}
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"].tolist()
@@ -108,14 +159,15 @@ def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             feats, shas, decoders, sizes = [], [], [], []
             for payload, kind in zip(payloads, kinds):
                 b = bytes(payload) if payload is not None else b""
-                real = _try_real_decoder(kind)
-                if real is not None:
-                    raise NotImplementedError(
-                        f"real decoder ({real}) wiring not implemented in sandbox"
-                    )
-                feats.append(_stub_features(b).astype(np.float32))
+                decode = real_decoders.get(kind)
+                decoded = decode(b) if decode is not None else None
+                if decoded is not None:
+                    arr, dec_name = decoded
+                else:
+                    arr, dec_name = _stub_features(b), "stub"
+                feats.append(arr.astype(np.float32))
                 shas.append(hashlib.sha256(b).hexdigest())
-                decoders.append("stub")
+                decoders.append(dec_name)
                 sizes.append(len(b))
             yield pd.DataFrame(
                 {

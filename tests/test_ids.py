@@ -43,3 +43,40 @@ def test_no_single_partition_global_sort(spark):
     # per-partition offsets table (numPartitions rows)
     assert "rangepartitioning(df" in plan
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_multi_consumer_branches_agree(spark):
+    """Regression: dense_rank_ids feeds its range-partitioned relation to BOTH
+    a counts branch and the final join. Without the internal persist, each
+    branch re-evaluates the repartitionByRange exchange and RangePartitioner
+    re-SAMPLES its boundaries (the seed incorporates the runtime RDD id), so
+    the offset join composed ranks from mismatched boundary sets — silently
+    corrupted ids (Abt-Buy blocking recall 0.99 -> 0.46 via
+    _attach_key_payload's cur/keys branches disagreeing). This test mirrors
+    that consumer shape: one branch reads the ids row-wise, another aggregates
+    them per group, and the two must live in ONE id space."""
+    import pandas as pd
+
+    # messy, realistic key distribution: shared tokens across groups
+    rows = []
+    for d in range(400):
+        for t in (d % 97, d % 31, 400 + d):
+            rows.append((f"doc{d}", f"tok:{t:05d}"))
+    df = spark.createDataFrame(rows, ["conv_id", "block_key"]).dropDuplicates()
+    kids = dense_rank_ids(
+        df.select("block_key").distinct(), ["block_key"], "_kid", num_partitions=8
+    )
+    joined = df.join(kids, "block_key")
+    per_doc = joined.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list("_kid")).alias("_keys")
+    )
+    out = joined.join(per_doc, "conv_id").select("conv_id", "_kid", "_keys").collect()
+    for r in out:
+        assert r["_kid"] in r["_keys"], (
+            f"cur id {r['_kid']} of {r['conv_id']} missing from its own key "
+            f"array {r['_keys']} — branches disagree on the id space"
+        )
+    # and the id space is the true sorted rank
+    got = {r["block_key"]: r["_kid"] for r in kids.collect()}
+    for rank, key in enumerate(sorted(got), start=1):
+        assert got[key] == rank

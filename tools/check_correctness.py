@@ -117,8 +117,40 @@ def main():
         else:
             print(f"{name:24s} OK  n={len(sr)}  ({time.time()-t0:.1f}s)")
             summary[name] = f"ok:{len(sr)}"
+    _frontier_cache_audit(spark)
     print(json.dumps(summary))
     spark.stop()
+
+
+def _frontier_cache_audit(spark):
+    """The gate leans on driver_queries._FRONTIER_CACHE (the memoized
+    transcripts->docs->blocks->pairs->scored chain ~15 ER queries share);
+    assert it stayed bounded and report its storage footprint so a future
+    500-query gate can't silently blow past executor storage and evict
+    (docs/SCALE.md 'Driver-gate frontier cache')."""
+    try:
+        from entityresolution_capstone_spark.plans import driver_queries as DQ
+
+        n_keys = len(DQ._FRONTIER_CACHE)
+        n_frames = sum(len(st) for st in DQ._FRONTIER_CACHE.values())
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        mem = sum(i.memSize() for i in infos)
+        disk = sum(i.diskSize() for i in infos)
+        # one (applicationId, sf_dir) key per gate run; more means queries
+        # are being run against unexpected sf dirs and the cache will grow
+        assert n_keys <= 2, (
+            f"frontier cache grew to {n_keys} (app, sf_dir) keys — bounded "
+            "design assumes one sf per gate run"
+        )
+        print(
+            f"frontier-cache audit: {n_keys} key(s), {n_frames} memoized "
+            f"frames, {len(infos)} persisted RDDs, "
+            f"{mem/1e6:.0f} MB mem + {disk/1e6:.0f} MB disk"
+        )
+    except AssertionError:
+        raise
+    except Exception as e:  # JVM introspection is best-effort
+        print(f"frontier-cache audit skipped: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
