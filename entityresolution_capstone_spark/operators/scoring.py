@@ -20,6 +20,7 @@ arrays, so Python cost is O(pairs · prefix²) with vectorized inner loops.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -113,7 +114,17 @@ def _dense_path_eligible(vocab: int, corpus_size: int | None) -> bool:
     """ONE predicate for the dense-TF-IDF path, shared by
     precompute_dense_tfidf and score_pairs_slim — if the two ever diverged,
     bench.py could precompute None while scoring still takes the dense path
-    and silently re-derives the table inside the timed run."""
+    and silently re-derives the table inside the timed run.
+
+    SPARK_GRAFT_FORCE_SPARSE_TFIDF=1 disables the dense path regardless of
+    vocab size: the sparse explode+join route is the only one available at
+    real-corpus vocabularies, so cross-scale growth measurements must be able
+    to hold the PLAN fixed while the input grows (the x10 weak-scaling input
+    crosses DENSE_TFIDF_MAX_VOCAB by construction — disjoint per-copy token
+    spaces grow vocab linearly — and the resulting plan switch otherwise
+    masquerades as a superlinear wall-growth exponent)."""
+    if os.environ.get("SPARK_GRAFT_FORCE_SPARSE_TFIDF", "") == "1":
+        return False
     return vocab <= DENSE_TFIDF_MAX_VOCAB and (corpus_size or 0) <= DENSE_TFIDF_MAX_DOCS
 
 

@@ -10,6 +10,22 @@ rewrites must not.
 Usage: python tools/vector_microbench.py <cpus> <sf_dir> <mode ...>
 modes: embdedup simhash annbuckets ivf project mixedpairs brute
 Prints one JSON line per mode + a summary line.
+
+Input sizing: sf0.1's embeddings table (2k vectors) finishes these modes in
+1-10s — walls that small measure task-scheduling jitter, not the plan. Build
+a meaningful input with ``makeinput``:
+
+    python tools/vector_microbench.py makeinput <out_dir> [n_vecs] [x10_docs]
+
+It writes ``embeddings.parquet`` — n_vecs (default 20k) 64-dim vectors whose
+coordinates are deterministic hash-based pseudo-randoms in [-1, 1) — plus a
+copy of the cross-scale x10 documents for the document modes. Hash-random
+coordinates matter: the cross-scale x10 embeddings (+i on ONE coordinate per
+copy) keep near-unit cross-copy cosines, so every LSH bucket holds all K
+copies of each vector and the near-dup pair count grows K^2 — a giant-bucket
+straggler that stalls embdedup. That is a property of that synthetic input
+(fine for the weak-scaling DOCUMENT queries it was built for), not of the
+plan; the microbench needs realistic bucket occupancy instead.
 """
 from __future__ import annotations
 
@@ -21,7 +37,39 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def make_input(out_dir: str, n_vecs: int = 20000, x10_docs: str | None = None):
+    """Deterministic microbench input (see module docstring). No external data."""
+    import shutil
+
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        copy (
+          select i as vec_id,
+                 list_transform(range(64), j ->
+                   cast((hash(i*64 + j) % 1048576) as double)/524288.0 - 1.0
+                 )::FLOAT[] as embedding,
+                 cast(i % 100 as int) as label
+          from range({int(n_vecs)}) t(i)
+        ) to '{out_dir}/embeddings.parquet' (format parquet)
+        """
+    )
+    if x10_docs:
+        shutil.copy(x10_docs, os.path.join(out_dir, "documents.parquet"))
+    print(json.dumps({"out_dir": out_dir, "n_vecs": int(n_vecs)}))
+
+
 def main():
+    if sys.argv[1] == "makeinput":
+        make_input(
+            sys.argv[2],
+            int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
+            sys.argv[4] if len(sys.argv) > 4 else None,
+        )
+        return
     cpus = sys.argv[1]
     sf_dir = sys.argv[2]
     modes = sys.argv[3:]
@@ -46,19 +94,18 @@ def main():
     emb = load(spark, sf_dir, "embeddings")
     out = {}
     for mode in modes:
-        t0 = time.time()
         if mode == "embdedup":
-            n = D.embedding_cosine_duplicates(emb, threshold=0.2, bucketed=True).count()
+            act = lambda: D.embedding_cosine_duplicates(emb, threshold=0.2, bucketed=True).count()
         elif mode == "simhash":
             docs = load(spark, sf_dir, "documents")
-            n = D.simhash_duplicates(docs).count()
+            act = lambda: D.simhash_duplicates(docs).count()
         elif mode == "annbuckets":
-            n = S.lsh_bucket_keys(emb).count()
+            act = lambda: S.lsh_bucket_keys(emb).count()
         elif mode == "ivf":
             q = emb.filter(F.col("vec_id") % 53 == 7)
-            n = S.ivf_topk(emb, q, k=10).count()
+            act = lambda: S.ivf_topk(emb, q, k=10).count()
         elif mode == "project":
-            n = S.random_project(emb, out_dim=16).count()
+            act = lambda: S.random_project(emb, out_dim=16).count()
         elif mode == "mixedpairs":
             # the generic candidate_pairs path: token keys + minhash bands
             # (SURVEY §2.3's prescribed mix) -> dense-id payload + Arrow
@@ -80,13 +127,32 @@ def main():
             tdict = B.token_dictionary(doc_frequencies(docs))
             cfg = B.BlockingConfig(use_token_keys=True, use_minhash=True)
             blocks = B.build_blocks(docs, tdict, cfg)
-            n = B.candidate_pairs(blocks, cfg).count()
+            act = lambda: B.candidate_pairs(blocks, cfg).count()
         elif mode == "brute":
             q = emb.filter(F.col("vec_id") % 997 == 7)
-            n = S.brute_force_topk(emb, q, k=10).count()
+            act = lambda: S.brute_force_topk(emb, q, k=10).count()
         else:
             raise SystemExit(f"unknown mode {mode}")
-        out[mode] = {"wall_s": round(time.time() - t0, 2), "rows": n}
+        # cold pass pays once-per-process costs (Janino compile, JVM C2 JIT,
+        # python worker pool boot + pandas/numpy import for UDF modes) that
+        # are CONSTANT across core counts and amortize to zero on a long
+        # cluster job — measured ~90-100s for mixedpairs at BOTH 8 and 32
+        # cores. The inversion check is defined on the steady pass: timing
+        # the cold pass at two core counts compares boot, not the plan.
+        t0 = time.time()
+        n = act()
+        cold = round(time.time() - t0, 2)
+        # steady = min-of-3: single steady passes at these 1-15s walls are
+        # dominated by host drift + task-scheduling jitter (observed 3x
+        # swings between identical runs); min-of-k is the repo's standard
+        # noise estimator (bench.py protocol)
+        steadies = []
+        for _ in range(3):
+            t0 = time.time()
+            n = act()
+            steadies.append(round(time.time() - t0, 2))
+        out[mode] = {"cold_s": cold, "steady_s": min(steadies),
+                     "steady_trials": steadies, "rows": n}
         print(json.dumps({mode: out[mode]}), flush=True)
     print(json.dumps({"cpus": int(cpus), "modes": out}))
     spark.stop()
