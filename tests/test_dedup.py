@@ -87,6 +87,82 @@ def test_embedding_cosine_dups_brute_vs_bucketed(spark):
     assert extra.count() == 0
 
 
+def test_embedding_cosine_arrow_vs_static_bit_identical(spark):
+    """The Arrow cosine kernel (ordered left-fold NumPy) must be BITWISE
+    equal to the static codegen composition on every pair — not merely
+    equal after rounding. Unfiltered comparison (threshold=-1 keeps all
+    pairs, including negative cosines)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300).cache()
+    a = D.embedding_cosine_duplicates(emb, threshold=-1.0, bucketed=True, kernel="arrow")
+    s = D.embedding_cosine_duplicates(emb, threshold=-1.0, bucketed=True, kernel="static")
+    assert a.count() == s.count() > 0
+    joined = a.join(
+        s.withColumnRenamed("cosine", "cosine_s"), ["id1", "id2"], "full"
+    )
+    assert joined.filter(
+        F.col("cosine").isNull()
+        | F.col("cosine_s").isNull()
+        | (F.col("cosine") != F.col("cosine_s"))
+    ).count() == 0
+
+
+def test_pandas_dot_and_cosine_ordered_fold_bit_identical(spark):
+    """functions/vector.py Arrow kernels vs the static expressions on
+    adversarial magnitudes (mixed exponents, where association order shows
+    in the last ulp if it differs). Zero-norm vectors are checked separately:
+    ANSI Spark raises divideByZero for the static composition, while the
+    Arrow kernel's raw-IEEE NumPy division yields NaN, surfaced as Spark
+    NULL (documented in pandas_cosine)."""
+    import math
+
+    from entityresolution_capstone_spark.functions import vector as V
+
+    rows = [
+        (1, [1e10, 1.0, -1e10, 3.0e-7, 123.456, -0.5, 7.0, 1e-30]),
+        (2, [2.0, -1e-12, 5.5e8, 1.0, -9.9e-5, 42.0, -1e10, 0.25]),
+        (3, [0.0] * 8),
+        (4, [math.pi, -math.e, 1e-300, 1e150, -1.5, 2.5, -3.5, 4.5]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"]).cache()
+    p = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .cache()
+    )
+    nonzero = p.filter((F.col("id1") != 3) & (F.col("id2") != 3))
+    out = nonzero.select(
+        "id1",
+        "id2",
+        V.pandas_dot("v1", "v2").alias("pdot"),
+        V.static_dot("v1", "v2", 8).alias("sdot"),
+        V.pandas_cosine("v1", "v2").alias("pcos"),
+        (
+            V.static_dot("v1", "v2", 8)
+            / (V.static_norm("v1", 8) * V.static_norm("v2", 8))
+        ).alias("scos"),
+    ).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["pdot"] == r["sdot"], r  # bitwise, no rounding
+        assert r["pcos"] == r["scos"], r
+    # zero-norm side: Arrow kernel -> NaN -> Spark NULL (pair fails any
+    # >= threshold filter); dot itself is still exact (0.0)
+    zrows = p.filter((F.col("id1") == 3) | (F.col("id2") == 3)).select(
+        V.pandas_dot("v1", "v2").alias("pdot"),
+        V.pandas_cosine("v1", "v2").alias("pcos"),
+    ).collect()
+    assert len(zrows) == 7
+    for r in zrows:
+        assert r["pdot"] == 0.0
+        assert r["pcos"] is None
+
+
 def test_jaccard_verify_array_matches_explode(spark, documents, docs):
     from entityresolution_capstone_spark.operators.dedup import (
         dedup_token_dict,
