@@ -192,6 +192,31 @@ def pandas_cosine(a, b) -> Column:
     return _cos(a, b)
 
 
+def pandas_cosine_guarded(a, b) -> Column:
+    """:func:`pandas_cosine` with the zero-norm guard used by similarity
+    search: a zero-norm side yields cosine 0.0 (not NULL/NaN/raise) —
+    bit-identical to the static composition
+    ``when((n1 > 0) & (n2 > 0), dot/(n1·n2)).otherwise(0.0)`` on nonzero
+    norms and to its guard on zero norms. (Sole divergence: if both norms
+    are so small their PRODUCT underflows to 0 while each is > 0, the static
+    form divides by zero — ANSI raise — where this returns 0.0.)"""
+    @pandas_udf("double")
+    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        mx = np.asarray(x.tolist(), dtype="float64")
+        my = np.asarray(y.tolist(), dtype="float64")
+        num = _ordered_rowwise_dot(mx, my)
+        den = np.sqrt(_ordered_rowwise_dot(mx, mx)) * np.sqrt(
+            _ordered_rowwise_dot(my, my)
+        )
+        return pd.Series(np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0))
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cos(a, b)
+
+
 def dot(a, b, dim: int) -> Column:
     """Dim-dispatching dot product: static unroll when it fits codegen,
     Arrow/NumPy beyond."""

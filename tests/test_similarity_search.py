@@ -122,3 +122,30 @@ def test_ivf_index_deterministic_across_partitionings(spark):
     r1 = {(r["id"], r["cid"]) for r in a1.collect()}
     r2 = {(r["id"], r["cid"]) for r in a2.collect()}
     assert r1 == r2
+
+
+def test_cosine_kernels_bit_identical(spark, embeddings):
+    """_cosine(kernel="arrow") vs kernel="static": bitwise-equal cosines on
+    real embedding pairs, and 0.0 (not NULL/raise) on a zero-norm side —
+    the swap that routes the scored streams through the Arrow kernel must
+    not move a single ulp (rank order and oracle hashes depend on it)."""
+    dim = S.probe_dim(embeddings, "embedding")
+    v = S._with_norm(embeddings.limit(40), "vec_id", "embedding", dim)
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * dim)], ["id", "v"]
+    ).withColumn("norm", F.lit(0.0))
+    v = v.unionByName(zero)
+    a = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("norm").alias("n1"))
+    b = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("norm").alias("n2"))
+    p = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    out = p.select(
+        "id1",
+        "id2",
+        S._cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"), dim, kernel="arrow").alias("ca"),
+        S._cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"), dim, kernel="static").alias("cs"),
+    ).collect()
+    assert len(out) > 800
+    for r in out:
+        assert r["ca"] == r["cs"], r  # bitwise, no rounding
+    zeros = [r for r in out if r["id2"] == 10_000_000]
+    assert zeros and all(r["ca"] == 0.0 for r in zeros)
