@@ -20,6 +20,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -33,7 +34,86 @@ PAIR_PARTITIONS = 128
 # Measurement-protocol tag stored on every pair. _merge_pair refuses to
 # min-pool trials taken under different protocols (a pre-steady cold trial
 # pooled with steady trials would corrupt the committed gate evidence).
-PROTOCOL = "steady-constpart-v2"
+# v3 (r5): every window is ballast-gated — a host-health probe taken
+# IMMEDIATELY before the window tags it healthy/unhealthy, the headline
+# median reads healthy windows only, and all windows stay disclosed
+# (VERDICT r4 item 1). v2 windows carry no ballast tag, so they cannot be
+# pooled into a v3 pair.
+PROTOCOL = "steady-constpart-v3-ballast"
+
+# --- host-health ballast probe -------------------------------------------
+# The r4 forensics (BASELINE.md host-epoch section) showed the 4v16 window
+# ratios cluster by host epoch: hypervisor co-tenancy inflates per-core CPU
+# at high concurrency, and the big level absorbs all of it. The probe
+# measures exactly that quantity — per-core integer-spin throughput with
+# the BIG level's core count busy vs with the SMALL level's count busy
+# (the same two concurrencies the window itself compares; a 1-core
+# denominator was tried and is too noisy — single-spinner throughput swung
+# 107-156 chunks/s across back-to-back probes from turbo/placement, where
+# the 16v4 ratio held 0.87-0.93). Median of 3 repetitions. Calibration on
+# this box: fresh-boot idle host reads ~0.88-0.93 at 16v4; the r4 degraded
+# epoch's reported per-core collapse at 16+ busy vCPUs corresponds to
+# ~0.6-0.7. The 0.8 default threshold sits between with margin.
+BALLAST_MIN = float(os.environ.get("SPARK_GRAFT_BALLAST_MIN", "0.8"))
+BALLAST_SPIN_SRC = (
+    "import sys,time\n"
+    "end=time.time()+float(sys.argv[1]);n=0;x=0\n"
+    "while time.time()<end:\n"
+    "    for _ in range(100000): x+=1\n"
+    "    n+=1\n"
+    "print(n)"
+)
+
+
+def _spin_percore(k: int, dur: float = 3.0) -> float:
+    """Per-core spin throughput (loop-chunks/core/sec) with k pinned spinners."""
+    pin = shutil.which("taskset")
+    procs = []
+    for i in range(k):
+        cmd = ([pin, "-c", str(i)] if pin else []) + [
+            sys.executable, "-c", BALLAST_SPIN_SRC, str(dur)
+        ]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+    total = sum(int(p.communicate()[0].strip()) for p in procs)
+    return total / k / dur
+
+
+def ballast_probe(small_level: int, big_level: int) -> dict:
+    """One host-health reading: median-of-3 percore(big) / percore(small)."""
+    ratios = []
+    for _ in range(3):
+        ps = _spin_percore(small_level)
+        pb = _spin_percore(big_level)
+        ratios.append(pb / ps if ps else 0.0)
+    ratios.sort()
+    return {
+        "small_level": small_level,
+        "big_level": big_level,
+        "ratios": [round(r, 3) for r in ratios],
+        "health": round(ratios[1], 3),
+    }
+
+
+def _await_healthy(small_level: int, big_level: int) -> dict:
+    """Probe immediately before a window; if unhealthy, wait and re-probe.
+
+    After SPARK_GRAFT_BALLAST_RETRIES failed probes the window still RUNS —
+    it is tagged unhealthy and disclosed, it just doesn't feed the headline
+    healthy-window median. Skipping it silently would hide how often the
+    host was degraded during the campaign."""
+    retries = int(os.environ.get("SPARK_GRAFT_BALLAST_RETRIES", "3"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_BALLAST_WAIT", "60"))
+    b = ballast_probe(small_level, big_level)
+    attempt = 0
+    while b["health"] < BALLAST_MIN and attempt < retries:
+        print(
+            json.dumps({"ballast_unhealthy": b, "retry_in_s": wait_s}), flush=True
+        )
+        time.sleep(wait_s)
+        b = ballast_probe(small_level, big_level)
+        attempt += 1
+    b["healthy"] = b["health"] >= BALLAST_MIN
+    return b
 
 
 def make_pyfiles_zip() -> str:
@@ -50,7 +130,12 @@ def make_pyfiles_zip() -> str:
 
 
 def run_levels_interleaved(
-    n: int, sf_dir: str, pyfiles: str, trials: int = 3, score_only: bool = False
+    n: int,
+    sf_dir: str,
+    pyfiles: str,
+    trials: int = 3,
+    score_only: bool = False,
+    checkpoint=None,
 ) -> tuple[dict, dict, list[dict]]:
     """Alternate N / 4N trials; report the fastest q_score per level.
 
@@ -64,7 +149,15 @@ def run_levels_interleaved(
     best-of-2 straddled the 0.8 gate across runs on this box."""
     best_n, best_4n = None, None
     trial_log: list[dict] = []
+    use_ballast = os.environ.get("SPARK_GRAFT_BALLAST", "1") == "1"
     for t in range(max(1, trials)):
+        # Ballast reading taken IMMEDIATELY before the window (VERDICT r4
+        # item 1): the window's health tag describes the host at the moment
+        # the window starts, and unhealthy-probed windows wait-and-retry in
+        # _await_healthy before running (then run anyway, tagged).
+        ball = _await_healthy(n, 4 * n) if use_ballast else None
+        if ball is not None:
+            print(json.dumps({"window": t + 1, "ballast": ball}), flush=True)
         r = _run_level_once(n, sf_dir, pyfiles, score_only)
         if best_n is None or r["queries"]["q_score"] < best_n["queries"]["q_score"]:
             best_n = r
@@ -85,14 +178,20 @@ def run_levels_interleaved(
         # (approximately) the same host conditions — corroborating evidence
         # that residual gap in the pooled-minima headline is window drift,
         # not plan scaling
-        trial_log.append(
-            {
-                "window": t + 1,
-                "q_score_N": s_n,
-                "q_score_4N": s_4n,
-                "window_efficiency": round(s_n / (4 * s_4n), 3),
-            }
-        )
+        entry = {
+            "window": t + 1,
+            "q_score_N": s_n,
+            "q_score_4N": s_4n,
+            "window_efficiency": round(s_n / (4 * s_4n), 3),
+        }
+        if ball is not None:
+            entry["ballast_health"] = ball["health"]
+            entry["healthy"] = ball["healthy"]
+        trial_log.append(entry)
+        if checkpoint is not None:
+            # flush the pair-in-progress to the committed artifacts after
+            # EVERY window — a campaign killed mid-pair keeps its windows
+            checkpoint(best_n, best_4n, trial_log)
     return best_n, best_4n, trial_log
 
 
@@ -201,11 +300,35 @@ def _pool_levels(pairs: list[dict]) -> None:
             # ratios recomputed from the RAW per-window seconds — the stored
             # window_efficiency is display-rounded to 3 dp, and a median of
             # pre-rounded values double-rounds at the 0.8 gate boundary
-            ratios = sorted(t["q_score_N"] / (4 * t["q_score_4N"]) for t in tlog)
-            m = len(ratios)
-            med = ratios[m // 2] if m % 2 else (ratios[m // 2 - 1] + ratios[m // 2]) / 2
-            p["scaling_efficiency"] = round(med, 3)
-            p["efficiency_method"] = "same-window-median"
+            def _median(entries: list[dict]) -> float:
+                ratios = sorted(
+                    t["q_score_N"] / (4 * t["q_score_4N"]) for t in entries
+                )
+                m = len(ratios)
+                return (
+                    ratios[m // 2]
+                    if m % 2
+                    else (ratios[m // 2 - 1] + ratios[m // 2]) / 2
+                )
+
+            p["all_window_median"] = round(_median(tlog), 3)
+            # v3 protocol: when windows carry ballast tags, the headline is
+            # the median over HEALTHY-tagged windows — a window whose
+            # immediately-preceding probe showed the hypervisor throttling
+            # per-core speed at the big level's concurrency measures the
+            # host, not the plan (BASELINE.md host-epoch + CPU-accounting
+            # sections). Unhealthy windows stay in trial_log and in the MD
+            # table, and all_window_median is always recorded alongside.
+            tagged = [t for t in tlog if "healthy" in t]
+            healthy = [t for t in tagged if t["healthy"]]
+            if tagged and healthy:
+                p["healthy_windows"] = len(healthy)
+                p["unhealthy_windows"] = len(tagged) - len(healthy)
+                p["scaling_efficiency"] = round(_median(healthy), 3)
+                p["efficiency_method"] = "same-window-median-ballast-healthy"
+            else:
+                p["scaling_efficiency"] = p["all_window_median"]
+                p["efficiency_method"] = "same-window-median"
         else:
             p["scaling_efficiency"] = p["pooled_min_efficiency"]
             p["efficiency_method"] = "pooled-min"
@@ -275,10 +398,13 @@ otherwise-fast trial must not pin the whole table).
             f"\n**Gate verdict (>= 0.8 per BASELINE.json): {verdict}** on the "
             "low-core pairs, where each pinned level genuinely owns its cores "
             "(the 8v32 pair rides the host's effective-core ceiling — see its "
-            "section). Pair-level medians pool every window ever measured, "
-            "across host epochs — see the host-epoch section for why the "
-            "4v16 median moved between sessions and for the old-SHA control "
-            "showing it is the host, not the code. The CPU-accounting section "
+            "section). Pairs measured under the v3 ballast protocol (r5) tag "
+            "every window with a host-health probe taken immediately before "
+            "it and headline the healthy-window median, with every window and "
+            "the all-window median disclosed (see each pair's table); v2 "
+            "pairs pool every window across host epochs — see the host-epoch "
+            "section for the r4 forensics (old-SHA control, epoch clustering) "
+            "that motivated the ballast gate. The CPU-accounting section "
             "below shows the residual is single-socket memory contention the "
             "emulation itself introduces, making these numbers a lower bound "
             "on true N-vs-4N-executor scaling.\n"
@@ -316,6 +442,7 @@ Per-query wall seconds:
         tlog = r.get("trial_log") or []
         if tlog:
             med = r["scaling_efficiency"]
+            ballasted = any("ballast_health" in t for t in tlog)
             md.append(
                 """
 
@@ -325,17 +452,53 @@ pooled minima instead compare each level's fastest window, and on a
 drifting host those are DIFFERENT windows — drift masquerades as scaling
 loss. The median over windows is drift-cancelling and robust to a single
 noisy window:
+"""
+            )
+            if ballasted:
+                md.append(
+                    """
+The `ballast` column is the host-health probe taken IMMEDIATELY before the
+window: per-core integer-spin throughput with the big level's core count
+busy, divided by per-core throughput with the small level's count busy —
+the same two concurrencies the window compares — median of 3 repetitions
+(tools/scaling_bench.py `ballast_probe`). A reading below {thr} means the
+hypervisor is throttling
+per-core speed at the big level's concurrency — the exact mechanism the
+CPU-accounting section shows eats the ratio — so those windows measure the
+host, not the plan. Headline = median over healthy windows; the all-window
+median is disclosed beside it and every window stays in the table.
 
+| window | q_score local[{n}] | q_score local[{m}] | efficiency | ballast | healthy |
+|---|---|---|---|---|---|
+""".format(thr=BALLAST_MIN, n=n, m=4 * n)
+                    + "\n".join(
+                        f"| {t['window']} | {t['q_score_N']} | {t['q_score_4N']} "
+                        f"| {t['window_efficiency']:.3f} "
+                        f"| {t.get('ballast_health', '-')} "
+                        f"| {'yes' if t.get('healthy') else 'NO' if 'healthy' in t else '-'} |"
+                        for t in tlog
+                    )
+                    + (
+                        f"\n\nMedian over {r.get('healthy_windows', 0)} healthy"
+                        f"-tagged windows: **{med:.3f}** "
+                        f"({r.get('unhealthy_windows', 0)} unhealthy windows "
+                        f"disclosed above; all-window median "
+                        f"{r.get('all_window_median', med):.3f})."
+                    )
+                )
+            else:
+                md.append(
+                    """
 | window | q_score local[{n}] | q_score local[{m}] | efficiency |
 |---|---|---|---|
 """.format(n=n, m=4 * n)
-                + "\n".join(
-                    f"| {t['window']} | {t['q_score_N']} | {t['q_score_4N']} "
-                    f"| {t['window_efficiency']:.3f} |"
-                    for t in tlog
+                    + "\n".join(
+                        f"| {t['window']} | {t['q_score_N']} | {t['q_score_4N']} "
+                        f"| {t['window_efficiency']:.3f} |"
+                        for t in tlog
+                    )
+                    + f"\n\nMedian same-window efficiency: **{med:.3f}**."
                 )
-                + f"\n\nMedian same-window efficiency: **{med:.3f}**."
-            )
     cs_path = os.path.join(REPO, "BENCH", "CROSS_SCALE.json")
     if os.path.exists(cs_path):
         with open(cs_path) as f:
@@ -435,13 +598,15 @@ code change between the SHAs. Corroborating: the 2v8 pair, whose 8-core
 big side sits well inside the host's budget, holds >= 0.8 in BOTH epochs
 (epoch-B windows 0.764 and 1.322 merged into its median of 0.841).
 
-The committed 4v16 number is the median over ALL windows from both epochs
-(0.732) — no window is excluded. Read it as: the plan measures >= 0.8 when
-the emulation gets the cores it pins (epoch A), and the shortfall tracks
-host contention that a real N-vs-4N-executor cluster — each node owning
-its own socket — would not see. The 2v8 pair, the measurement least
-exposed to that artifact, is the cleanest available estimate of the
-plan's true scaling and reads 0.841.
+These r4 forensics motivated the v3 ballast protocol (r5): instead of
+pooling windows blind across epochs and arguing about them afterwards,
+every window now carries a host-health probe taken immediately before it,
+the headline median reads only windows whose probe showed the host
+actually delivering the big level's core count, and unhealthy windows
+stay disclosed in the table. The r4 all-window 4v16 median was 0.700
+(19 windows, both epochs, no ballast tags — superseded, kept here for the
+record); the r4 epoch-A-only median was 0.806. The 2v8 pair, the
+measurement least exposed to the contention artifact, reads 0.841.
 
 ## Effective-core ceiling on the 8v32 pair
 
@@ -562,8 +727,31 @@ def main():
 
     results = []
     for n, trials, score_only in specs:
+
+        def _ckpt(b_n, b_4n, tlog, n=n, trials=trials, score_only=score_only):
+            part = {
+                "N": n,
+                "trials": len(tlog),
+                "planned_trials": trials,
+                "score_only": score_only,
+                "throughput_N": b_n["value"],
+                "throughput_4N": b_4n["value"],
+                "scaling_efficiency": 0.0,  # recomputed by _pool_levels
+                "bench_N": b_n,
+                "bench_4N": b_4n,
+                "trial_log": list(tlog),
+                "protocol": PROTOCOL,
+            }
+            if merge:
+                part = _merge_pair(prior.get(n), part)
+                merged_all = {**prior, n: part, **{p["N"]: p for p in results}}
+                write_artifacts(sf_dir, [merged_all[k] for k in sorted(merged_all)])
+            else:
+                write_artifacts(sf_dir, results + [part])
+
         r_n, r_4n, trial_log = run_levels_interleaved(
-            n, sf_dir, pyfiles, trials=trials, score_only=score_only
+            n, sf_dir, pyfiles, trials=trials, score_only=score_only,
+            checkpoint=_ckpt,
         )
         thr_n, thr_4n = r_n["value"], r_4n["value"]
         eff = thr_4n / (4 * thr_n) if thr_n else 0.0
