@@ -37,8 +37,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_input(out_dir: str, n_vecs: int = 20000, x10_docs: str | None = None):
-    """Deterministic microbench input (see module docstring). No external data."""
+def make_input(
+    out_dir: str,
+    n_vecs: int = 20000,
+    x10_docs: str | None = None,
+    dim: int = 64,
+):
+    """Deterministic microbench input (see module docstring). No external data.
+
+    ``dim`` (VERDICT r4 item 4): all round-4 vector evidence was dim 64;
+    realistic embedding widths (768, 1024) exercise ONLY the Arrow kernels
+    (the static path must refuse above MAX_STATIC_DIM=256), so the bench
+    needs wide inputs to measure the path production embeddings take.
+    """
     import shutil
 
     import duckdb
@@ -49,8 +60,8 @@ def make_input(out_dir: str, n_vecs: int = 20000, x10_docs: str | None = None):
         f"""
         copy (
           select i as vec_id,
-                 list_transform(range(64), j ->
-                   cast((hash(i*64 + j) % 1048576) as double)/524288.0 - 1.0
+                 list_transform(range({int(dim)}), j ->
+                   cast((hash(i*{int(dim)} + j) % 1048576) as double)/524288.0 - 1.0
                  )::FLOAT[] as embedding,
                  cast(i % 100 as int) as label
           from range({int(n_vecs)}) t(i)
@@ -59,7 +70,7 @@ def make_input(out_dir: str, n_vecs: int = 20000, x10_docs: str | None = None):
     )
     if x10_docs:
         shutil.copy(x10_docs, os.path.join(out_dir, "documents.parquet"))
-    print(json.dumps({"out_dir": out_dir, "n_vecs": int(n_vecs)}))
+    print(json.dumps({"out_dir": out_dir, "n_vecs": int(n_vecs), "dim": int(dim)}))
 
 
 def main():
@@ -67,7 +78,8 @@ def main():
         make_input(
             sys.argv[2],
             int(sys.argv[3]) if len(sys.argv) > 3 else 20000,
-            sys.argv[4] if len(sys.argv) > 4 else None,
+            (sys.argv[4] or None) if len(sys.argv) > 4 else None,
+            int(sys.argv[5]) if len(sys.argv) > 5 else 64,
         )
         return
     cpus = sys.argv[1]
@@ -131,6 +143,15 @@ def main():
         elif mode == "brute":
             q = emb.filter(F.col("vec_id") % 997 == 7)
             act = lambda: S.brute_force_topk(emb, q, k=10).count()
+        elif mode == "paircosine":
+            # pandas_cosine throughput on the full bucketed pair stream:
+            # threshold=-1 keeps every scored pair, so `rows` IS the number
+            # of cosines computed (VERDICT r4 item 4 asks for >= 1M bucketed
+            # pairs at dim 768 — size the makeinput n_vecs accordingly:
+            # ~25k hash-random vectors / 8 planes -> ~1.2M bucket pairs)
+            act = lambda: D.embedding_cosine_duplicates(
+                emb, threshold=-1.0, bucketed=True, kernel="arrow"
+            ).count()
         else:
             raise SystemExit(f"unknown mode {mode}")
         # cold pass pays once-per-process costs (Janino compile, JVM C2 JIT,
