@@ -185,8 +185,23 @@ def run_levels_interleaved(
             "window_efficiency": round(s_n / (4 * s_4n), 3),
         }
         if ball is not None:
+            # POST-window reading too: a pre-probe certifies only the
+            # window's start, and host conditions were observed collapsing
+            # MID-window (pre-probe 0.861 → window ratio 0.46). A window is
+            # healthy only if the host delivered its cores at BOTH
+            # endpoints; a mid-window transient that recovers before the
+            # post-probe can still slip through, so the tag is necessary,
+            # not sufficient — disclosed as such in BASELINE.md.
+            ball_post = ballast_probe(n, 4 * n)
+            print(
+                json.dumps({"window": t + 1, "ballast_post": ball_post}),
+                flush=True,
+            )
             entry["ballast_health"] = ball["health"]
-            entry["healthy"] = ball["healthy"]
+            entry["ballast_health_post"] = ball_post["health"]
+            entry["healthy"] = (
+                ball["healthy"] and ball_post["health"] >= BALLAST_MIN
+            )
         trial_log.append(entry)
         if checkpoint is not None:
             # flush the pair-in-progress to the committed artifacts after
@@ -457,24 +472,30 @@ noisy window:
             if ballasted:
                 md.append(
                     """
-The `ballast` column is the host-health probe taken IMMEDIATELY before the
-window: per-core integer-spin throughput with the big level's core count
-busy, divided by per-core throughput with the small level's count busy —
-the same two concurrencies the window compares — median of 3 repetitions
-(tools/scaling_bench.py `ballast_probe`). A reading below {thr} means the
-hypervisor is throttling
-per-core speed at the big level's concurrency — the exact mechanism the
-CPU-accounting section shows eats the ratio — so those windows measure the
-host, not the plan. Headline = median over healthy windows; the all-window
-median is disclosed beside it and every window stays in the table.
+The `ballast pre/post` columns are host-health probes taken IMMEDIATELY
+before and after the window: per-core integer-spin throughput with the big
+level's core count busy, divided by per-core throughput with the small
+level's count busy — the same two concurrencies the window compares —
+median of 3 repetitions (tools/scaling_bench.py `ballast_probe`). A reading
+below {thr} means the hypervisor is throttling per-core speed at the big
+level's concurrency — the exact mechanism the CPU-accounting section shows
+eats the ratio — so those windows measure the host, not the plan. A window
+is tagged healthy only if BOTH endpoint readings pass (a pre-probe alone
+was observed certifying a window whose host collapsed mid-window); a
+transient that recovers before the post-probe can still slip through, so
+the tag is necessary, not sufficient — it can only under-claim, never
+launder a bad window into the headline. Headline = median over healthy
+windows; the all-window median is disclosed beside it and every window
+stays in the table.
 
-| window | q_score local[{n}] | q_score local[{m}] | efficiency | ballast | healthy |
-|---|---|---|---|---|---|
+| window | q_score local[{n}] | q_score local[{m}] | efficiency | ballast pre | ballast post | healthy |
+|---|---|---|---|---|---|---|
 """.format(thr=BALLAST_MIN, n=n, m=4 * n)
                     + "\n".join(
                         f"| {t['window']} | {t['q_score_N']} | {t['q_score_4N']} "
                         f"| {t['window_efficiency']:.3f} "
                         f"| {t.get('ballast_health', '-')} "
+                        f"| {t.get('ballast_health_post', '-')} "
                         f"| {'yes' if t.get('healthy') else 'NO' if 'healthy' in t else '-'} |"
                         for t in tlog
                     )
