@@ -107,22 +107,103 @@ def assert_dim(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     a static dot silently degrades to NULL → downstream ``cosine`` becomes
     0.0 — for a decontamination operator that reads as "everything clean",
     a safety-critical false negative. This guard turns a dim mismatch into
-    a raised error at scan time via ``raise_error`` inside the projection
-    (no extra aggregate job; the check rides the existing scan)."""
+    a raised error at scan time (no extra aggregate job; the check rides the
+    existing scan).
+
+    PLAN-SHAPE CONTRACT: the guard is a ``filter(assert_true(...) IS NULL)``
+    — an all-pass predicate that raises per offending row — NOT a
+    ``withColumn`` that wraps the vector in a conditional. The wrap form
+    replaces the column with a ``WHEN(..RAISE_ERROR..)`` expression that
+    Catalyst's collapse-projects inlines into EVERY downstream reference;
+    on the LSH plane projections (planes × dim ``element_at`` refs, each
+    inlining a dim-sized guard) the expression tree grows multiplicatively
+    and the driver OOMs during codegen/explain. The filter form leaves the
+    column a plain attribute, so downstream static expressions stay linear
+    in dim."""
     v = F.col(vec_col)
-    return df.withColumn(
-        vec_col,
-        F.when(
-            F.size(v) == dim, v
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"vector column '{vec_col}': expected dim {dim}, got "),
-                    F.size(v).cast("string"),
-                )
-            )
+    ok = v.isNotNull() & (F.size(v) == dim)
+    msg = F.concat(
+        F.lit(f"vector column '{vec_col}': expected dim {dim}, got "),
+        F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+    )
+    return df.filter(F.assert_true(ok, msg).isNull())
+
+
+def assert_nonzero_norm(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Fail LOUDLY when any vector has zero (or non-finite) norm.
+
+    Why this exists (VERDICT/ADVICE r4): the Arrow cosine kernel is raw IEEE —
+    a zero-norm side yields NaN → Spark NULL → the pair silently fails any
+    ``>= threshold`` filter. For a DEDUP/DECONTAMINATION operator that reads
+    as "no duplicate found": a silent false negative from degenerate input,
+    the same failure class :func:`assert_dim` closes for wrong dims. The
+    check is Σv[i]² > 0 computed on the O(docs) stream (static codegen at
+    dim ≤ MAX_STATIC_DIM, one Arrow pass above), riding the existing scan —
+    never on the O(pairs) stream. NULL elements make the sum NULL, which
+    also routes to the raise. Same ``filter(assert_true)`` plan-shape
+    contract as :func:`assert_dim` (see there): the sq-norm expression is
+    evaluated ONCE in the filter predicate instead of being inlined into
+    every downstream reference of the vector column."""
+    sq = (
+        static_sq_norm(vec_col, dim)
+        if dim <= MAX_STATIC_DIM
+        else pandas_dot(vec_col, vec_col)
+    )
+    v = F.col(vec_col)
+    ok = v.isNotNull() & (sq > 0) & ~F.isnan(sq)
+    msg = F.concat(
+        F.lit(
+            f"vector column '{vec_col}': zero/NULL/non-finite norm (sq_norm="
+        ),
+        F.coalesce(sq.cast("string"), F.lit("NULL")),
+        F.lit(
+            ") — degenerate embeddings would silently drop from "
+            "thresholded cosine streams; clean or quarantine them upstream"
         ),
     )
+    return df.filter(F.assert_true(ok, msg).isNull())
+
+
+def _as_matrix(s: pd.Series, side: str) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column, with a CLEAR error
+    on NULL rows or ragged lengths. Bare ``np.asarray(s.tolist())`` raises an
+    opaque 'inhomogeneous shape' ValueError inside the executor (ADVICE r4);
+    the conversion try is identical on the happy path — diagnosis runs only
+    on failure. NULLs are pre-checked because a batch of ONLY NULLs converts
+    'successfully' to a 1-D nan vector instead of raising."""
+    if s.isna().any():
+        raise ValueError(
+            f"vector kernel input '{side}': {int(s.isna().sum())} NULL "
+            "row(s) — the arrow kernels require non-null fixed-dim vectors; "
+            "run functions.vector.assert_dim / assert_nonzero_norm upstream"
+        )
+    try:
+        m = np.asarray(s.tolist(), dtype="float64")
+    except (ValueError, TypeError):
+        lens = sorted({len(v) for v in s if v is not None})
+        raise ValueError(
+            f"vector kernel input '{side}': ragged vector lengths "
+            f"{lens[:8]}{'...' if len(lens) > 8 else ''} — the arrow "
+            "kernels require non-null fixed-dim vectors; run "
+            "functions.vector.assert_dim upstream"
+        ) from None
+    if m.ndim != 2:
+        raise ValueError(
+            f"vector kernel input '{side}': expected a list column of "
+            f"fixed-dim vectors, got array of shape {m.shape}"
+        )
+    return m
+
+
+def _check_sides(mx: np.ndarray, my: np.ndarray) -> None:
+    """Left/right width agreement. Arrow batches can be a single row, so a
+    ragged COLUMN arrives as two internally-consistent matrices of different
+    widths — caught here, not by :func:`_as_matrix`."""
+    if mx.shape[1] != my.shape[1]:
+        raise ValueError(
+            f"vector kernel: left dim {mx.shape[1]} != right dim "
+            f"{my.shape[1]} — run functions.vector.assert_dim upstream"
+        )
 
 
 def _ordered_rowwise_dot(mx: np.ndarray, my: np.ndarray) -> np.ndarray:
@@ -153,8 +234,9 @@ def pandas_dot(a, b, dim: int | None = None) -> Column:
     def _dot(x: pd.Series, y: pd.Series) -> pd.Series:
         if len(x) == 0:
             return pd.Series([], dtype="float64")
-        mx = np.asarray(x.tolist(), dtype="float64")
-        my = np.asarray(y.tolist(), dtype="float64")
+        mx = _as_matrix(x, "left")
+        my = _as_matrix(y, "right")
+        _check_sides(mx, my)
         return pd.Series(_ordered_rowwise_dot(mx, my))
 
     a = F.col(a) if isinstance(a, str) else a
@@ -178,8 +260,9 @@ def pandas_cosine(a, b) -> Column:
     def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
         if len(x) == 0:
             return pd.Series([], dtype="float64")
-        mx = np.asarray(x.tolist(), dtype="float64")
-        my = np.asarray(y.tolist(), dtype="float64")
+        mx = _as_matrix(x, "left")
+        my = _as_matrix(y, "right")
+        _check_sides(mx, my)
         num = _ordered_rowwise_dot(mx, my)
         with np.errstate(divide="ignore", invalid="ignore"):
             den = np.sqrt(_ordered_rowwise_dot(mx, mx)) * np.sqrt(
@@ -204,8 +287,9 @@ def pandas_cosine_guarded(a, b) -> Column:
     def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
         if len(x) == 0:
             return pd.Series([], dtype="float64")
-        mx = np.asarray(x.tolist(), dtype="float64")
-        my = np.asarray(y.tolist(), dtype="float64")
+        mx = _as_matrix(x, "left")
+        my = _as_matrix(y, "right")
+        _check_sides(mx, my)
         num = _ordered_rowwise_dot(mx, my)
         den = np.sqrt(_ordered_rowwise_dot(mx, mx)) * np.sqrt(
             _ordered_rowwise_dot(my, my)

@@ -1,10 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
 - brute-force cosine top-k: the exact baseline; broadcast the (small) query
-  set, JVM-side dot products (static whole-stage-codegen expressions over a
-  plan-time-constant dim — functions/vector.py; the interpreted
-  zip_with+aggregate form anti-scales at high in-JVM concurrency), window
-  top-k.
+  set, score with the ordered-fold Arrow cosine by default
+  (functions/vector.pandas_cosine_guarded — one Arrow transfer per batch,
+  bit-identical to the static composition, faster on large score streams and
+  dim-unbounded), window top-k. ``kernel="static"`` keeps the all-JVM
+  whole-stage-codegen plan (static expressions over a plan-time-constant
+  dim ≤ MAX_STATIC_DIM) for Python-worker-constrained deployments; the
+  interpreted zip_with+aggregate form both replace anti-scales at high
+  in-JVM concurrency. Zero-norm vectors score cosine 0.0 by contract on
+  BOTH kernels (explicitly guarded, not NaN-dropped).
 - LSH-bucketed ANN: deterministic random-hyperplane signatures with *integer*
   plane vectors (derived from index arithmetic, no RNG) so the bucketing is
   exactly reproducible in ANSI SQL for the correctness oracle. Candidates are

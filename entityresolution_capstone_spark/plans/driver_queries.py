@@ -4866,8 +4866,35 @@ assert len(_GATE_WINDOW_R4) == 50 and len(set(_GATE_WINDOW_R4)) == 50
 assert set(_GATE_WINDOW_R4) <= set(QUERIES), sorted(
     set(_GATE_WINDOW_R4) - set(QUERIES)
 )
+
+# ---------------------------------------------------------------------------
+# Driver-gate registration order (round 5) — inverse rotation
+#
+# Round 4's window drove the 37 queries rounds 1-3 never checked; the price
+# was that the 37 r3-window queries went one round without a driver-issued
+# row.  Round 5 inverts: lead with those 37 (er_canonicalize ... er_prc_sweep,
+# i.e. everything OUTSIDE _GATE_WINDOW_R4), then 13 core queries kept inside
+# every window — the flagship pipeline plus one query per code path touched
+# this round (dense_rank_ids lifecycle -> er_candidate_pairs /
+# er_minhash_bands / er_pairs_jw; vector zero-norm guards -> dedup_embedding /
+# sim_topk / ann_ivf / dedup_semantic / decontam_semantic; stfidf byte cap ->
+# er_pairs_stfidf).  Union of any two consecutive driver artifacts = all 87,
+# so no query's driver-green row is ever more than one round old.
+# ---------------------------------------------------------------------------
+_GATE_CORE = [
+    "er_clusters", "er_pairwise_f1", "er_candidate_pairs", "er_minhash_bands",
+    "er_pairs_jw", "er_pairs_stfidf", "dedup_minhash", "dedup_embedding",
+    "dedup_simhash", "sim_topk", "ann_ivf", "dedup_semantic",
+    "decontam_semantic",
+]
+_GATE_WINDOW_R5 = [
+    *(n for n in QUERIES if n not in set(_GATE_WINDOW_R4)),
+    *_GATE_CORE,
+]
+assert len(_GATE_WINDOW_R5) == 50 and len(set(_GATE_WINDOW_R5)) == 50
+assert set(_GATE_CORE) <= set(_GATE_WINDOW_R4)
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_GATE_WINDOW_R4,
-                 *(n for n in QUERIES if n not in set(_GATE_WINDOW_R4)))
+    for name in (*_GATE_WINDOW_R5,
+                 *(n for n in QUERIES if n not in set(_GATE_WINDOW_R5)))
 }

@@ -51,7 +51,14 @@ def write_table(
     if catalog:
         name = f"{catalog}.{os.path.basename(path)}"
         w = df.writeTo(name)
-        (w.createOrReplace() if mode == "overwrite" else w.append())
+        if mode == "overwrite":
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+        else:
+            w.append()
     else:
         tmp = path + ".inprogress"
         if os.path.exists(tmp):

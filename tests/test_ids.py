@@ -32,17 +32,46 @@ def test_matches_global_sort(spark, n_rows, n_parts):
 
 def test_no_single_partition_global_sort(spark):
     """The physical plan must not contain a partition-less global Sort feeding
-    a Window (the straggler this helper exists to remove)."""
+    a Window (the straggler this helper exists to remove). Inspected with
+    pin=False: the shipped pin=True path localCheckpoints the identical plan,
+    which truncates lineage and hides the exchange from executedPlan()."""
     df = spark.range(100).select(
         F.concat(F.lit("t"), F.col("id")).alias("token"),
         (F.col("id") % 5).alias("df"),
     )
-    plan = dense_rank_ids(df, ["df", "token"])._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        dense_rank_ids(df, ["df", "token"], pin=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     # the vocabulary goes through rangepartitioning and a _pid-partitioned
     # window; the only partition-less window allowed is the one over the tiny
     # per-partition offsets table (numPartitions rows)
     assert "rangepartitioning(df" in plan
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_no_cachemanager_entry(spark):
+    """Lifecycle (ADVICE r4 medium): the internal materialization must NOT be
+    a CacheManager entry — cached plans hold a strong JVM reference for the
+    session lifetime, so repeated calls (sorted-neighborhood over corpus-
+    cardinality inputs, per-query token dictionaries in long gate sessions)
+    would grow storage unboundedly. localCheckpoint blocks are ContextCleaner-
+    reclaimed once no live plan references them."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    for i in range(3):
+        df = spark.range(50 + i).select(
+            F.concat(F.lit("t"), F.col("id")).alias("token"),
+            (F.col("id") % 5).alias("df"),
+        )
+        out = dense_rank_ids(df, ["df", "token"], num_partitions=4)
+        assert out.count() == 50 + i
+        assert cm.isEmpty(), (
+            "dense_rank_ids registered a CacheManager entry — the persist "
+            "leak ADVICE r4 flagged; the pin must be a localCheckpoint"
+        )
 
 
 def test_multi_consumer_branches_agree(spark):

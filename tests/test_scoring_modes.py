@@ -172,6 +172,45 @@ def test_stfidf_vocab_cap_falls_back_to_distributed(spark):
         assert abs(broadcast_path[k] - distributed_path[k]) < 1e-12, k
 
 
+def test_stfidf_byte_cap_falls_back_to_distributed(spark):
+    """VERDICT r4 item 6: the driver dict is also capped in BYTES, not just
+    rows — a small row count of long tokens must reroute to the distributed
+    soft_tfidf_pairs plan, with identical scores."""
+    from entityresolution_capstone_spark.functions.tfidf import doc_frequencies
+    from entityresolution_capstone_spark.operators.scoring import (
+        ScoringConfig,
+        score_pairs,
+    )
+
+    # ~30 distinct tokens of ~40 chars: far under any row cap, ~5 KB of chars
+    docs = spark.createDataFrame(
+        [
+            ("c%d" % i, "t", ["longtoken%04d" % i + "x" * 30, "shared" + "y" * 30])
+            for i in range(30)
+        ],
+        "conv_id string, doc_prefix string, tokens array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("c%d" % i, "c%d" % (i + 1)) for i in range(29)], "id1 string, id2 string"
+    )
+    dft = doc_frequencies(docs)
+
+    def scores(byte_cap):
+        cfg = ScoringConfig(
+            weights={"stfidf": 1.0}, stfidf_max_vocab_bytes=byte_cap
+        )
+        out = score_pairs(pairs, docs, cfg, df_table=dft, corpus_size=30, spark=spark)
+        return {(r["id1"], r["id2"]): r["attr_sim"] for r in out.collect()}
+
+    # 64 MB default: dict path. 1 KB: 31 entries × (104 B + ~42 chars) ≈ 4.5 KB
+    # estimate exceeds the cap → must reroute to the distributed plan.
+    dict_path = scores(64 << 20)
+    rerouted = scores(1 << 10)
+    assert set(dict_path) == set(rerouted) and dict_path
+    for k in dict_path:
+        assert abs(dict_path[k] - rerouted[k]) < 1e-12, k
+
+
 def test_dense_table_precompute_parity(spark, small):
     """score_pairs_slim with a caller-precomputed dense_table must be
     bit-identical to the inline dense path (bench.py materializes the

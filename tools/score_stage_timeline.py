@@ -24,10 +24,15 @@ def main():
 
     from entityresolution_capstone_spark.session import get_spark
 
+    # Default to the SCALING-BENCH protocol (constant partitioning across
+    # levels) so CPU accounting here explains the gate windows; override via
+    # env to probe level-derived partitioning instead.
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    pair_parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "128"))
     spark = get_spark(
         app_name="score-timeline",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle_parts,
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
             "spark.ui.enabled": "true",
@@ -58,8 +63,7 @@ def main():
     dft = doc_frequencies(docs).persist()
     tdict = DQ.B.token_dictionary(dft)
     blocks = DQ.B.build_blocks(docs, tdict, BENCH_BLOCKING)
-    cpus_n = spark.sparkContext.defaultParallelism
-    pairs = DQ.B.candidate_pairs(blocks, BENCH_BLOCKING).repartition(4 * cpus_n).persist()
+    pairs = DQ.B.candidate_pairs(blocks, BENCH_BLOCKING).repartition(pair_parts).persist()
     pairs.count()
     n_docs = docs.count()
 
