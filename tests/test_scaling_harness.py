@@ -196,3 +196,54 @@ def test_merge_concatenates_trial_logs(sb):
     merged = sb._merge_pair(prev, new)
     assert len(merged["trial_log"]) == 3
     assert merged["trials"] == 3
+
+
+def test_probe_ok_requires_both_floors(sb):
+    """v4: a window is healthy only when BOTH probe kinds clear their floors.
+    The first two v3 windows were certified by ALU alone (0.87-1.01) while
+    the memory probe would have read the collapse — gating must AND them."""
+    assert sb._probe_ok({"health": 0.9, "mem_health": 0.7})
+    assert not sb._probe_ok({"health": 0.9, "mem_health": 0.3})
+    assert not sb._probe_ok({"health": 0.5, "mem_health": 0.9})
+    # v3 readings carry no mem_health: gate on ALU alone (back-compat)
+    assert sb._probe_ok({"health": 0.9})
+    assert not sb._probe_ok({"health": 0.5})
+
+
+def test_healthy_median_reads_only_healthy_windows(sb):
+    p = _pair(4, {"q_score": 100.0}, {"q_score": 30.0})
+    p["trial_log"] = [
+        {"window": 1, "q_score_N": 100.0, "q_score_4N": 30.0,
+         "window_efficiency": 0.833, "healthy": True},
+        {"window": 2, "q_score_N": 100.0, "q_score_4N": 80.0,
+         "window_efficiency": 0.313, "healthy": False},
+        {"window": 3, "q_score_N": 104.0, "q_score_4N": 31.0,
+         "window_efficiency": 0.839, "healthy": True},
+    ]
+    sb._pool_levels([p])
+    assert p["efficiency_method"] == "same-window-median-ballast-healthy"
+    assert p["healthy_windows"] == 2 and p["unhealthy_windows"] == 1
+    # median over the two healthy ratios only; the 0.313 window is excluded
+    # from the headline but disclosed via all_window_median
+    assert p["scaling_efficiency"] == round((100/120 + 104/124) / 2, 3)
+    assert p["all_window_median"] == round(100 / 120, 3)
+
+
+def test_window_trials_env_reaches_bench(sb, monkeypatch):
+    """v4: each level's in-window q_score is min-of-WINDOW_TRIALS via
+    bench.py's SPARK_GRAFT_BENCH_TRIALS; the harness must plumb it."""
+    captured = {}
+
+    def fake_run(cmd, env=None, **kw):
+        captured.update(env)
+
+        class R:
+            stdout = '{"queries": {"q_score": 1.0}, "value": 1.0, "rows": {"q_score": 1}}'
+            stderr = ""
+        return R()
+
+    monkeypatch.setattr(sb.subprocess, "run", fake_run)
+    monkeypatch.setattr(sb.shutil, "which", lambda name: None)
+    sb._run_level_once(4, "/tmp/sf", "/tmp/x.zip", score_only=True)
+    assert captured["SPARK_GRAFT_BENCH_TRIALS"] == str(sb.WINDOW_TRIALS)
+    assert captured["SPARK_GRAFT_BENCH_STEADY"] == "1"
