@@ -47,7 +47,17 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    return v.withColumn("norm", V.static_norm("v", dim))
+    # Wide embeddings (dim > MAX_STATIC_DIM): the static unroll refuses by
+    # contract, so the norm rides the ordered-fold Arrow kernel instead —
+    # same left-to-right summation, bit-identical. On the default arrow
+    # cosine path the norm column is pruned away entirely (see _cosine), so
+    # this expression only ever executes for kernel="static" at dim <= 256.
+    norm = (
+        V.static_norm("v", dim)
+        if dim <= V.MAX_STATIC_DIM
+        else F.sqrt(V.pandas_dot("v", "v"))
+    )
+    return v.withColumn("norm", norm)
 
 
 def _cosine(v1, v2, n1, n2, dim: int, kernel: str = "arrow"):

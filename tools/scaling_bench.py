@@ -482,14 +482,19 @@ otherwise-fast trial must not pin the whole table).
             f"\n**Gate verdict (>= 0.8 per BASELINE.json): {verdict}** on the "
             "low-core pairs, where each pinned level genuinely owns its cores "
             "(the 8v32 pair rides the host's effective-core ceiling — see its "
-            "section). Pairs measured under the v3 ballast protocol (r5) tag "
-            "every window with a host-health probe taken immediately before "
-            "it and headline the healthy-window median, with every window and "
-            "the all-window median disclosed (see each pair's table); v2 "
-            "pairs pool every window across host epochs — see the host-epoch "
+            "section). Pairs measured under the v4 ballast protocol (r5) tag "
+            "every window with a dual host-health probe (ALU spin + 64 MB "
+            "memory streaming) taken immediately before and after it, run "
+            "min-of-k q_score trials per level INSIDE the window, and "
+            "headline the healthy-window median with every window and the "
+            "all-window median disclosed (see each pair's table); v2 pairs "
+            "pool every window across host epochs — see the host-epoch "
             "section for the r4 forensics (old-SHA control, epoch clustering) "
-            "that motivated the ballast gate. The CPU-accounting section "
-            "below shows the residual is single-socket memory contention the "
+            "that motivated the ballast gate. The largest plan-side "
+            "contributor to the 4v16 gap was found and fixed this round (a "
+            "JIT-refused huge codegen method running interpreted — "
+            "docs/SCALE.md round-5); the CPU-accounting section below shows "
+            "the remaining residual is single-socket contention the "
             "emulation itself introduces, making these numbers a lower bound "
             "on true N-vs-4N-executor scaling.\n"
         )
