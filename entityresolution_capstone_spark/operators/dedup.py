@@ -687,7 +687,7 @@ def embedding_cosine_duplicates(
     vec_col: str = "embedding",
     bucketed: bool = False,
     n_planes: int = 8,
-    kernel: str = "arrow",
+    kernel: str = "auto",
 ) -> DataFrame:
     """(id1, id2, cosine >= threshold) over an array<float> embedding column.
 
@@ -699,24 +699,36 @@ def embedding_cosine_duplicates(
     are bit-identical to each other and to DuckDB ``list_dot_product``
     (verified mismatch-free over a 2.44M-pair stream):
 
-    - ``kernel="arrow"`` (default): one Arrow-batched NumPy cosine per pair
-      (functions/vector.pandas_cosine). Measured 5.0s vs 9.1s for the static
-      unroll at 2.44M pairs × dim 64, local[32]; the gap widens with dim and
-      the kernel has no dim ceiling.
+    - ``kernel="auto"`` (default): static codegen at dim ≤ MAX_STATIC_DIM,
+      Arrow ordered-fold above. Post-JIT-flag crossover (r5, 3.8M bucketed
+      pairs, local[32]): static 3.91s vs arrow 5.67s at dim 64 — the r4
+      numbers that favored arrow were measured with the static method
+      running interpreted (docs/SCALE.md round-5).
+    - ``kernel="arrow"``: one Arrow-batched NumPy cosine per pair
+      (functions/vector.pandas_cosine); dim-unbounded.
     - ``kernel="static"``: per-pair dot + per-doc norm as STATIC codegen
       expressions (functions/vector.py), dim ≤ MAX_STATIC_DIM. Keeps the
       whole plan JVM-side (no Python workers) and lets Catalyst push the
-      threshold into the pair join; prefer it when Python worker capacity is
-      the bottleneck. Replaced the interpreted ``aggregate(zip_with(...))``
-      form, which anti-scales at high in-JVM concurrency on the quadratic
-      pair stream (docs/SCALE.md, round-3 law).
+      threshold into the pair join. Replaced the interpreted
+      ``aggregate(zip_with(...))`` form, which anti-scales at high in-JVM
+      concurrency on the quadratic pair stream (docs/SCALE.md, round-3 law).
     """
     from ..functions import vector as V
     from .similarity_search import probe_dim
 
-    if kernel not in ("arrow", "static"):
-        raise ValueError(f"kernel must be 'arrow' or 'static', got {kernel!r}")
+    if kernel not in ("auto", "arrow", "static"):
+        raise ValueError(
+            f"kernel must be 'auto', 'arrow' or 'static', got {kernel!r}"
+        )
     dim = probe_dim(embeddings, vec_col)
+    if kernel == "auto":
+        # r5 crossover (post JIT-flag, 3.8M bucketed pairs at local[32]):
+        # static 3.91 s vs arrow 5.67 s at dim 64 — the r4 measurement that
+        # favored arrow was taken with the static method running in the
+        # HotSpot bytecode interpreter (docs/SCALE.md round-5). Static wins
+        # while the unroll fits MAX_STATIC_DIM; wide embeddings take the
+        # dim-unbounded Arrow ordered fold. Both are bit-identical.
+        kernel = "static" if dim <= V.MAX_STATIC_DIM else "arrow"
     v = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

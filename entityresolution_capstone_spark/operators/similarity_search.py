@@ -1,15 +1,14 @@
 """Similarity search over embedding columns (array<float>).
 
 - brute-force cosine top-k: the exact baseline; broadcast the (small) query
-  set, score with the ordered-fold Arrow cosine by default
-  (functions/vector.pandas_cosine_guarded — one Arrow transfer per batch,
-  bit-identical to the static composition, faster on large score streams and
-  dim-unbounded), window top-k. ``kernel="static"`` keeps the all-JVM
-  whole-stage-codegen plan (static expressions over a plan-time-constant
-  dim ≤ MAX_STATIC_DIM) for Python-worker-constrained deployments; the
-  interpreted zip_with+aggregate form both replace anti-scales at high
-  in-JVM concurrency. Zero-norm vectors score cosine 0.0 by contract on
-  BOTH kernels (explicitly guarded, not NaN-dropped).
+  set, score with the kernel="auto" cosine — static whole-stage-codegen
+  expressions at dim ≤ MAX_STATIC_DIM (the faster form now that the huge
+  generated methods JIT, docs/SCALE.md round-5), the ordered-fold Arrow
+  kernel above it (functions/vector.pandas_cosine_guarded — dim-unbounded,
+  bit-identical fold order) — then window top-k. The interpreted
+  zip_with+aggregate form both replace anti-scales at high in-JVM
+  concurrency. Zero-norm vectors score cosine 0.0 by contract on BOTH
+  kernels (explicitly guarded, not NaN-dropped).
 - LSH-bucketed ANN: deterministic random-hyperplane signatures with *integer*
   plane vectors (derived from index arithmetic, no RNG) so the bucketing is
   exactly reproducible in ANSI SQL for the correctness oracle. Candidates are
@@ -48,10 +47,12 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     # Wide embeddings (dim > MAX_STATIC_DIM): the static unroll refuses by
-    # contract, so the norm rides the ordered-fold Arrow kernel instead —
-    # same left-to-right summation, bit-identical. On the default arrow
-    # cosine path the norm column is pruned away entirely (see _cosine), so
-    # this expression only ever executes for kernel="static" at dim <= 256.
+    # contract, so the norm expression is built on the ordered-fold Arrow
+    # kernel instead — same left-to-right summation, bit-identical. Under
+    # the default kernel="auto" wide dims take the arrow COSINE, whose path
+    # never references the norm column, so Catalyst prunes this expression
+    # away and the pandas fallback here exists only for a caller that
+    # materializes norms explicitly.
     norm = (
         V.static_norm("v", dim)
         if dim <= V.MAX_STATIC_DIM
@@ -60,18 +61,22 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
     return v.withColumn("norm", norm)
 
 
-def _cosine(v1, v2, n1, n2, dim: int, kernel: str = "arrow"):
+def _cosine(v1, v2, n1, n2, dim: int, kernel: str = "auto"):
     """Per-pair cosine with zero-norm guard (degenerate vectors score 0.0).
 
-    ``kernel="arrow"`` (default): one Arrow-batched NumPy UDF
-    (functions/vector.pandas_cosine_guarded) — bit-identical to the static
-    composition (ordered left-fold; verified in tests) and measured faster
-    on large score streams (2.44M pairs × dim 64 at local[32]: 5.0s vs 9.1s
-    for the static unroll, and the gap widens with dim). The precomputed
-    ``n1``/``n2`` columns go unreferenced on this path, so Catalyst's column
-    pruning removes the norm computation from the upstream projection —
-    call sites stay kernel-agnostic. ``kernel="static"`` keeps the all-JVM
-    whole-stage-codegen plan for Python-worker-constrained deployments."""
+    ``kernel="auto"`` (default): the static whole-stage-codegen composition
+    at dim ≤ MAX_STATIC_DIM, the Arrow ordered-fold above it. The two are
+    bit-identical (ordered left-fold; verified in tests); post-JIT-flag the
+    static form is the faster one where it fits (r5 crossover: 3.91 s vs
+    5.67 s on a 3.8M-pair bucketed stream at dim 64, local[32] — the r4
+    numbers that favored arrow were measured with the static method running
+    in the HotSpot bytecode interpreter, docs/SCALE.md round-5).
+    ``kernel="arrow"`` forces the Arrow UDF (the precomputed ``n1``/``n2``
+    columns then go unreferenced and Catalyst prunes the norm computation
+    upstream); ``kernel="static"`` forces the all-JVM plan and refuses wide
+    dims."""
+    if kernel == "auto":
+        kernel = "static" if dim <= V.MAX_STATIC_DIM else "arrow"
     if kernel == "arrow":
         return V.pandas_cosine_guarded(v1, v2)
     dot = V.static_dot(v1, v2, dim)
