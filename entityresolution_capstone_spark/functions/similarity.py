@@ -32,19 +32,26 @@ JW_PREFIX_WEIGHT = 0.1  # reference default, main.py:276-279
 
 
 def _encode_batch(strings: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
-    """Encode an object array of strings to (N, max_len) int32 codepoints + lengths."""
+    """Encode an object array of strings to (N, max_len) int32 codepoints + lengths.
+
+    One C-level conversion for the whole batch (r6): casting the object array
+    to a fixed-width ``U{max_len}`` NumPy unicode array truncates AND
+    zero-pads in a single pass, and its memory layout IS the (N, max_len)
+    little-endian UTF-32 codepoint matrix — the same bytes the per-string
+    ``s.encode("utf-32-le")`` loop produced, astral plane included, so the
+    output is bit-identical at ~4x less Python overhead (measured 17.6 ->
+    4.7 ms per 4096-row chunk; the encode was ~10% of the fused kernel).
+    """
     n = len(strings)
-    out = np.zeros((n, max_len), dtype=np.int32)
-    lens = np.zeros(n, dtype=np.int64)
-    for i, s in enumerate(strings):  # encode only; O(total chars), no kernel math here
-        if s is None:
-            continue
-        s = s[:max_len]
-        lens[i] = len(s)
-        if s:
-            out[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[
-                : len(s)
-            ].astype(np.int32)
+    lens = np.fromiter(
+        (0 if s is None else min(len(s), max_len) for s in strings),
+        dtype=np.int64,
+        count=n,
+    )
+    if n == 0:
+        return np.zeros((0, max_len), dtype=np.int32), lens
+    u = np.array([s if s is not None else "" for s in strings], dtype=f"U{max_len}")
+    out = np.ascontiguousarray(u).view(np.uint32).reshape(n, max_len).astype(np.int32)
     return out, lens
 
 
@@ -151,6 +158,70 @@ def _jaro_match_bitparallel(a, la, b, lb, window, lmax):
     return matched_a, matched_b
 
 
+def _jaro_match_bitparallel_uniform(
+    a: np.ndarray, b: np.ndarray, la_s: int, lb_s: int, lmax: int
+):
+    """:func:`_jaro_match_bitparallel` specialized to UNIFORM lengths (every
+    row has la == la_s and lb == lb_s) — the shape of the bench/pipeline
+    streams, where the doc prefix always fills its budget, so a whole chunk
+    shares one (la, lb). Everything per-row in the general matcher becomes a
+    SCALAR here: the window bounds, the word-window bitmasks, the src_ok
+    predicate (the i-loop simply stops at la_s) — and the per-source-position
+    Peq gather is batched into ONE fancy-index op over all positions. Same
+    greedy matching, bit-identical masks (parity-pinned via jaro hypothesis
+    tests); measured ~2x on the 128-char uniform chunks the bench scores.
+    """
+    n = a.shape[0]
+    W = (lmax + 63) // 64
+    window = max(max(la_s, lb_s) // 2 - 1, 0)
+    n_sym = int(max(a.max(initial=0), b.max(initial=0))) + 1
+    peq = _build_peq(b, np.full(n, lb_s, dtype=np.int64), lmax, n_sym)
+    rows = np.arange(n)
+    # one gather for every source position, then transpose to (lmax, W, n) so
+    # the inner loop reads CONTIGUOUS (n,) slices instead of striding through
+    # an (n, lmax, W) cube (cache-miss bound at 128-char chunks)
+    eq_all = np.ascontiguousarray(peq[rows[:, None], a[:, :lmax], :].transpose(1, 2, 0))
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    unmatched = np.empty((W, n), dtype=np.uint64)
+    for w in range(W):
+        bits = min(max(lb_s - 64 * w, 0), 64)
+        unmatched[w] = ones if bits >= 64 else np.uint64((1 << bits) - 1)
+    matched_a = np.zeros((n, lmax), dtype=bool)
+    matched_b_bits = np.zeros((W, n), dtype=np.uint64)
+    one_u = np.uint64(1)
+    for i in range(min(la_s, lmax)):
+        lo = max(i - window, 0)
+        hi = min(i + window, lmax - 1)
+        found = None
+        for w in range(W):
+            wlo = min(max(lo - 64 * w, 0), 64)
+            whi = min(max(hi - 64 * w + 1, 0), 64)
+            nbits = whi - wlo
+            if nbits <= 0:
+                continue
+            span = ones if nbits >= 64 else np.uint64(((1 << nbits) - 1) << wlo)
+            cw = eq_all[i, w] & unmatched[w]
+            if span != ones:
+                cw &= span
+            if found is not None:
+                cw &= ~found  # rows matched by an earlier word this i
+            low = cw & (~cw + one_u)  # lowest set bit (0 where no candidate)
+            # branchless updates: low == 0 rows are no-ops under &=~ / |=
+            unmatched[w] &= ~low
+            matched_b_bits[w] |= low
+            hit = low != 0
+            matched_a[:, i] |= hit
+            if W > 1 and w < W - 1:  # only later words consult `found`
+                found = (
+                    np.where(hit, ones, np.uint64(0))
+                    if found is None
+                    else np.where(hit, ones, found)
+                )
+    mb_bytes = matched_b_bits.transpose(1, 0).copy().view(np.uint8)
+    matched_b = np.unpackbits(mb_bytes, axis=1, bitorder="little")[:, :lmax].astype(bool)
+    return matched_a, matched_b
+
+
 def jaro_batch(
     s1: np.ndarray, s2: np.ndarray, max_len: int = DEFAULT_MAX_LEN
 ) -> np.ndarray:
@@ -200,8 +271,15 @@ def _jaro_coded(
 
     if a.dtype == np.uint8:
         # compact alphabet -> bit-parallel greedy matcher (O(L/64) words per
-        # source position; register/L1-resident working set)
-        matched_a, matched_b = _jaro_match_bitparallel(a, la, b, lb, window, lmax)
+        # source position; register/L1-resident working set). Uniform-length
+        # chunks (the bench/pipeline shape: prefixes fill their budget) take
+        # the scalar-mask specialization.
+        if la.min() == la.max() and lb.min() == lb.max():
+            matched_a, matched_b = _jaro_match_bitparallel_uniform(
+                a, b, int(la[0]), int(lb[0]), lmax
+            )
+        else:
+            matched_a, matched_b = _jaro_match_bitparallel(a, la, b, lb, window, lmax)
     else:
         matched_a = np.zeros((n, lmax), dtype=bool)
         matched_b = np.zeros((n, lmax), dtype=bool)
@@ -360,6 +438,61 @@ def levenshtein_batch_bitparallel(
     return _lev_myers_coded(a, la, b, lb)
 
 
+def _lev_myers_uniform(a: np.ndarray, la_s: int, b: np.ndarray, lb_s: int) -> np.ndarray:
+    """:func:`_lev_myers_coded` specialized to UNIFORM lengths (see
+    :func:`_jaro_match_bitparallel_uniform` for why this shape dominates):
+    the active mask, score-bit word/shift and VP initialization are scalars,
+    the per-text-position Peq gather batches into one fancy-index op, and
+    the carry flags stay boolean (no astype churn). Identical recurrence,
+    bit-identical distances (parity-pinned by the kernel tests)."""
+    n = a.shape[0]
+    if la_s == 0:
+        return np.full(n, float(lb_s))
+    W = (la_s + 63) // 64
+    n_sym = int(max(a.max(initial=0), b.max(initial=0))) + 1
+    peq = _build_peq(a, np.full(n, la_s, dtype=np.int64), la_s, n_sym)
+    rows = np.arange(n)
+    # one gather for all text positions, transposed to (lb_s, W, n) so the
+    # inner loop reads contiguous (n,) slices (see the jaro uniform matcher)
+    eq_all = np.ascontiguousarray(peq[rows[:, None], b[:, :lb_s], :].transpose(1, 2, 0))
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    vp = np.empty((W, n), dtype=np.uint64)
+    for w in range(W):
+        bits = min(max(la_s - 64 * w, 0), 64)
+        vp[w] = ones if bits >= 64 else np.uint64((1 << bits) - 1)
+    vn = np.zeros((W, n), dtype=np.uint64)
+    score = np.full(n, la_s, dtype=np.int64)
+    wm = (la_s - 1) // 64
+    ls = np.uint64((la_s - 1) % 64)
+    one = np.uint64(1)
+    s63 = np.uint64(63)
+    for j in range(lb_s):
+        carry = np.zeros(n, dtype=np.uint64)
+        hp_c = np.ones(n, dtype=np.uint64)  # left-border carry-in for HP<<1
+        hn_c = np.zeros(n, dtype=np.uint64)
+        for w in range(W):
+            eqw = eq_all[j, w]
+            x = eqw & vp[w]
+            s1w = x + vp[w]
+            c1 = s1w < x
+            s2w = s1w + carry
+            c2 = s2w < s1w
+            carry = (c1 | c2).astype(np.uint64)
+            d0 = (s2w ^ vp[w]) | eqw | vn[w]
+            hp = vn[w] | ~(d0 | vp[w])
+            hn = vp[w] & d0
+            if w == wm:
+                score += ((hp >> ls) & one).astype(np.int64)
+                score -= ((hn >> ls) & one).astype(np.int64)
+            hp_s = (hp << one) | hp_c
+            hn_s = (hn << one) | hn_c
+            hp_c = hp >> s63
+            hn_c = hn >> s63
+            vp[w] = hn_s | ~(d0 | hp_s)
+            vn[w] = hp_s & d0
+    return score.astype(np.float64)
+
+
 def _lev_myers_coded(
     a: np.ndarray, la: np.ndarray, b: np.ndarray, lb: np.ndarray
 ) -> np.ndarray:
@@ -377,6 +510,8 @@ def _lev_myers_coded(
     n_max = int(lb.max(initial=0))
     if m_max == 0:
         return lb.astype(np.float64)
+    if la.min() == m_max and lb.min() == n_max:
+        return _lev_myers_uniform(a, m_max, b, n_max)
     W = (m_max + 63) // 64
     rows = np.arange(n)
 

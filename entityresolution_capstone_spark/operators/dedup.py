@@ -359,22 +359,41 @@ def minhash_candidate_pairs(
     )
 
 
+VERIFY_BITSET_MAX_WORDS = 64  # bitset verify only when vocab <= 64*this (4096)
+
+
 def token_jaccard_verify(
     pairs: DataFrame,
     docs: DataFrame,
     threshold: float,
     tokens_col: str = "tokens",
     strategy: str = "explode",
+    token_dict: DataFrame | None = None,
 ) -> DataFrame:
     """Exact distinct-token Jaccard for candidate pairs; keep >= threshold.
 
-    Two plans, same result:
+    Several plans, same result:
     - ``explode`` (default): explode + groupBy — token lists never ride
       through the pair join; pure join/aggregate algebra that stays in
       whole-stage codegen and scales with cores. With threshold > 0 the
       candidate input is referenced exactly ONCE (a pair with no shared
       token has jaccard 0 and can never pass), so an unpersisted enumeration
       upstream is not recomputed.
+    - ``bitset`` (r6; requires ``threshold > 0`` and vocab <=
+      64·``VERIFY_BITSET_MAX_WORDS``): dense token-dictionary ids map to bit
+      positions; each doc's distinct-token set becomes W int64 masks built
+      at DOC cardinality, and the per-pair intersection is a static
+      ``Σ_w bit_count(m1_w & m2_w)`` — whole-stage codegen, zero per-row
+      allocation, and the O(pairs · tokens-per-doc) exploded stream the
+      explode plan shuffles through two joins + a groupBy disappears
+      entirely (guide §2.3/§2.4: the verify becomes a per-row expression on
+      the pair stream, with the masks attached by two doc-cardinality
+      joins — broadcast when docs are small). Measured at sf0.1/local[32]:
+      the q_dedup verify step 13.4s (explode) -> ~1s. Same integers, same
+      one final double division — bit-identical jaccard.
+    - ``auto``: bitset when the vocabulary fits and threshold > 0, else
+      explode (the unbounded-vocabulary route; at web-scale vocab the masks
+      would be wider than the token lists).
     - ``array``: attach the (distinct) token arrays to the pair rows and
       compute ``size(array_intersect)`` per row. At LOW parallelism on short
       docs this wins (fewer shuffled rows; measured 14.9s vs 26.4s at sf0.1 /
@@ -383,7 +402,80 @@ def token_jaccard_verify(
       (measured r3, identical 2.83M-row output at sf0.1: local[32]
       array=627.6s vs explode=40.3s — the q_dedup 8→32-core anti-scaling of
       VERDICT r2). Use only for small jobs at low parallelism.
+
+    ``token_dict``: optional (token, token_id) table with DENSE ids 1..vocab
+    (e.g. :func:`dedup_token_dict` output) for the bitset path; derived
+    internally when absent. Ignored by the other strategies.
     """
+    if strategy in ("auto", "bitset"):
+        tdict = token_dict if token_dict is not None else dedup_token_dict(docs)
+        vocab = int(
+            tdict.agg(F.coalesce(F.max("token_id"), F.lit(0)).cast("long")).collect()[
+                0
+            ][0]
+        )
+        words = (vocab + 63) // 64
+        fits = 0 < words <= VERIFY_BITSET_MAX_WORDS and threshold > 0
+        if strategy == "bitset" and not fits:
+            raise ValueError(
+                f"bitset verify needs 0 < vocab <= {64 * VERIFY_BITSET_MAX_WORDS} "
+                f"and threshold > 0 (got vocab={vocab}, threshold={threshold})"
+            )
+        if fits:
+            tk = (
+                docs.select(
+                    "doc_id", F.explode(F.array_distinct(tokens_col)).alias("token")
+                )
+                .join(F.broadcast(tdict.select("token", "token_id")), "token")
+                .select("doc_id", (F.col("token_id") - 1).alias("bitpos"))
+                .select(
+                    "doc_id",
+                    F.expr("CAST(bitpos DIV 64 AS INT)").alias("w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))"
+                    ).alias("bv"),
+                )
+            )
+            masks = tk.groupBy("doc_id").agg(
+                F.count("*").alias("_n"),  # tokens are distinct per doc
+                *[
+                    F.bit_or(
+                        F.when(F.col("w") == w, F.col("bv")).otherwise(F.lit(0))
+                    ).alias(f"_m{w}")
+                    for w in range(words)
+                ],
+            )
+            m1 = masks.select(
+                F.col("doc_id").alias("id1"),
+                F.col("_n").alias("_n1"),
+                *[F.col(f"_m{w}").alias(f"_a{w}") for w in range(words)],
+            )
+            m2 = masks.select(
+                F.col("doc_id").alias("id2"),
+                F.col("_n").alias("_n2"),
+                *[F.col(f"_m{w}").alias(f"_b{w}") for w in range(words)],
+            )
+            inter = None
+            for w in range(words):
+                term = F.bit_count(F.col(f"_a{w}").bitwiseAND(F.col(f"_b{w}")))
+                inter = term if inter is None else inter + term
+            # inner joins: a doc with zero tokens has no mask row, and with
+            # threshold > 0 its pairs can never pass anyway (explode-path
+            # semantics preserved exactly)
+            return (
+                pairs.join(m1, "id1")
+                .join(m2, "id2")
+                .select(
+                    "id1",
+                    "id2",
+                    (
+                        inter.cast("double")
+                        / (F.col("_n1") + F.col("_n2") - inter)
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+            )
+        strategy = "explode"
     if strategy == "array":
         t = docs.select(
             "doc_id", F.array_distinct(tokens_col).alias("_t")
@@ -459,7 +551,8 @@ def minhash_duplicates(
     tdict = dedup_token_dict(docs)
     cand = minhash_candidate_pairs(docs, tdict, cfg)
     return token_jaccard_verify(
-        cand, docs, cfg.jaccard_threshold, strategy=verify_strategy
+        cand, docs, cfg.jaccard_threshold, strategy=verify_strategy,
+        token_dict=tdict,
     )
 
 
@@ -514,7 +607,8 @@ def cross_minhash_duplicates(
         .select("id1", "id2")
     )
     verified = token_jaccard_verify(
-        cand, union, cfg.jaccard_threshold, strategy=verify_strategy
+        cand, union, cfg.jaccard_threshold, strategy=verify_strategy,
+        token_dict=tdict,
     )
     return verified.select(
         F.col("id1").alias("new_id"), F.col("id2").alias("base_id"), "jaccard"
@@ -672,7 +766,7 @@ def ngram_jaccard_duplicates(
     b = keyed.select("gram", F.col("doc_id").alias("id2"))
     cand = a.join(b, "gram").filter(F.col("id1") < F.col("id2")).select("id1", "id2").distinct()
     return token_jaccard_verify(
-        cand, docs.withColumnRenamed("grams", "tokens"), threshold
+        cand, docs.withColumnRenamed("grams", "tokens"), threshold, strategy="auto"
     ).withColumnRenamed("jaccard", "ngram_jaccard")
 
 
@@ -1165,19 +1259,26 @@ def prefix_jaccard_join(
     (``inter·denom >= num·union``) are pure int64 comparisons — no doubles
     anywhere in a decision. Output jaccard is one final rounded division.
 
-    Scale shape (r3 rewrite — the r2 form carried four token-id arrays
-    through the exploded prefix join and ran per-row array_intersect twice,
-    the interpreted/allocating pattern measured to collapse at high in-JVM
-    concurrency): one dictionary build (range-partitioned ids, no global
-    sort), an equi-join on prefix tokens whose rows are FOUR INTS (no array
-    payloads), emit-once via a pair groupBy (map-side combinable), then an
-    EXACT verify with zero per-row allocation:
+    Scale shape (r6 rewrite of the r3 plan): one dictionary build
+    (range-partitioned ids, no global sort), then ONE equi-join on prefix
+    tokens with everything downstream per-row:
 
-    - vocab <= 64·``bitset_max_words``: each doc's token set is a fixed-width
-      int64 bitset (dense dictionary ids -> bit positions); the intersection
-      is a static sum of ``bit_count(m1 & m2)`` terms — whole-stage codegen;
-    - larger vocab: the explode route — pairs ⋈ (doc, token_id) both sides,
-      one count aggregate — pure join algebra at any vocabulary.
+    - vocab <= 64·``bitset_max_words``: each doc's token set AND its prefix
+      set are fixed-width int64 bitsets (dense dictionary ids -> bit
+      positions) riding the join rows (2W+1 longs per side). A pair is kept
+      only on the row whose join token is the MINIMUM shared prefix token —
+      emit-once as a per-row predicate instead of the r3 pair-keyed groupBy,
+      which was the dominant exchange of the whole query (measured at
+      sf0.1/local[32]: 1.4 GB shuffled; the r6 plan shuffles the pair
+      stream ZERO times). The verify is the same static
+      ``Σ_w bit_count(m1 & m2)`` on the already-riding masks — enumerate ->
+      filter -> verify in one pipelined whole-stage-codegen stage.
+    - larger vocab: the r3 plan — prefix join rows of four ints, emit-once
+      via pair groupBy (map-side combinable), explode verify (pairs ⋈
+      (doc, token_id) both sides, one count aggregate) — pure join algebra
+      at any vocabulary. (The r2 form carried token-id arrays through the
+      join and ran per-row array_intersect, the interpreted/allocating
+      pattern measured to collapse at high in-JVM concurrency.)
 
     Output: (id1, id2, inter, union, jaccard) for pairs with J >= t.
     """
@@ -1192,23 +1293,133 @@ def prefix_jaccard_join(
         .agg(F.sort_array(F.collect_list("token_id")).alias("tids"))
         .filter(F.size("tids") > 0)
     ).persist()  # feeds the vocab probe, the prefix sides, and the verify
-    n = F.size("tids")
-    # ceil(t*n) in integers: (num*n + denom - 1) div denom
-    ceil_tn = F.expr(
-        f"CAST((({threshold_num} * size(tids) + {threshold_denom} - 1) "
-        f"DIV {threshold_denom}) AS INT)"
+    vocab = int(
+        ids.agg(F.coalesce(F.max(F.element_at("tids", -1)), F.lit(0))).collect()[0][0]
     )
-    pref = ids.select(
-        "doc_id",
-        n.alias("_n"),
-        F.slice("tids", 1, n - ceil_tn + 1).alias("prefix"),
-    )
+    words = (vocab + 63) // 64
     # pin the join-input partitioning: prefix-token rows are small but the
     # self-join output is quadratic per token, and AQE coalesces exchanges by
     # INPUT size — unpinned, the whole pair stream can fold onto 1-2 cores
     # (same hazard measured on bucket_pairs: 107s -> 32s at sf0.1). Residual
     # hot-token imbalance splits under AQE skew-join on the shuffled join.
     n_part = int(documents.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # integer ceil(t*n): (num*n + denom - 1) div denom
+    plen_sql = (
+        f"size(tids) - CAST((({threshold_num} * size(tids) + {threshold_denom} - 1) "
+        f"DIV {threshold_denom}) AS INT) + 1"
+    )
+    if 0 < words <= bitset_max_words:
+        # Bitset emit-once plan (r6, guide §2.3/§2.4): the pair-set groupBy
+        # the generic plan uses to dedupe multi-token collisions was the
+        # dominant exchange of the whole join (measured at sf0.1/local[32]:
+        # 1.4 GB shuffled, ~14s). With the vocabulary in a fixed-width
+        # bitset, a pair can instead be kept ONLY on the row whose join
+        # token is the MINIMUM shared prefix token — a per-row predicate on
+        # masks that ride the join (2W+1 longs per side), so the pair
+        # stream is never shuffled again: enumerate -> filter -> verify in
+        # one pipelined stage. Same surviving pairs (every candidate shares
+        # >= 1 prefix token; the minimum is unique), same integer
+        # inter/union, bit-identical jaccard.
+        tk = ids.select(
+            "doc_id",
+            F.size("tids").alias("_n"),
+            F.expr(plen_sql).alias("_plen"),
+            F.posexplode("tids").alias("_pos", "tid"),
+        ).select(
+            "doc_id",
+            "_n",
+            "tid",
+            (F.col("_pos") < F.col("_plen")).alias("_inpref"),
+            F.expr("CAST((tid - 1) DIV 64 AS INT)").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST((tid - 1) % 64 AS INT))"
+            ).alias("_bv"),
+        )
+        masks = tk.groupBy("doc_id").agg(
+            F.min("_n").alias("_n"),
+            *[
+                F.bit_or(
+                    F.when(F.col("_w") == w, F.col("_bv")).otherwise(F.lit(0))
+                ).alias(f"_m{w}")
+                for w in range(words)
+            ],
+            *[
+                F.bit_or(
+                    F.when(
+                        (F.col("_w") == w) & F.col("_inpref"), F.col("_bv")
+                    ).otherwise(F.lit(0))
+                ).alias(f"_p{w}")
+                for w in range(words)
+            ],
+        )
+        ptoks = tk.filter(F.col("_inpref")).select("doc_id", F.col("tid").alias("ptok"))
+        side = ptoks.join(masks, "doc_id")
+        a = side.select(
+            F.col("doc_id").alias("id1"),
+            F.col("_n").alias("n1"),
+            "ptok",
+            *[F.col(f"_m{w}").alias(f"_ma{w}") for w in range(words)],
+            *[F.col(f"_p{w}").alias(f"_pa{w}") for w in range(words)],
+        ).repartition(n_part, "ptok")
+        b = side.select(
+            F.col("doc_id").alias("id2"),
+            F.col("_n").alias("n2"),
+            "ptok",
+            *[F.col(f"_m{w}").alias(f"_mb{w}") for w in range(words)],
+            *[F.col(f"_p{w}").alias(f"_pb{w}") for w in range(words)],
+        ).repartition(n_part, "ptok")
+        w0 = F.expr("CAST((ptok - 1) DIV 64 AS INT)")
+        low_mask = F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST((ptok - 1) % 64 AS INT)) - 1"
+        )
+        min_shared = None
+        for w in range(words):
+            shw = F.col(f"_pa{w}").bitwiseAND(F.col(f"_pb{w}"))
+            term = (
+                F.when(F.lit(w) < w0, shw == 0)
+                .when(F.lit(w) == w0, shw.bitwiseAND(low_mask) == 0)
+                .otherwise(F.lit(True))
+            )
+            min_shared = term if min_shared is None else (min_shared & term)
+        inter = None
+        for w in range(words):
+            term = F.bit_count(F.col(f"_ma{w}").bitwiseAND(F.col(f"_mb{w}")))
+            inter = term if inter is None else inter + term
+        return (
+            a.join(b, "ptok")
+            .filter(F.col("id1") < F.col("id2"))
+            # length filter: t·max(n1,n2) <= min(n1,n2), integers only
+            .filter(
+                F.lit(threshold_num) * F.greatest("n1", "n2")
+                <= F.lit(threshold_denom) * F.least("n1", "n2")
+            )
+            .filter(min_shared)  # emit-once: min shared prefix token only
+            .select(
+                "id1",
+                "id2",
+                F.col("n1"),
+                F.col("n2"),
+                inter.cast("long").alias("inter"),
+            )
+            .filter(
+                F.col("inter") * F.lit(threshold_denom)
+                >= F.lit(threshold_num) * (F.col("n1") + F.col("n2") - F.col("inter"))
+            )
+            .select(
+                "id1",
+                "id2",
+                "inter",
+                (F.col("n1") + F.col("n2") - F.col("inter")).cast("long").alias("union"),
+                F.round(
+                    F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6
+                ).alias("jaccard"),
+            )
+        )
+    pref = ids.select(
+        "doc_id",
+        F.size("tids").alias("_n"),
+        F.slice("tids", 1, F.expr(plen_sql)).alias("prefix"),
+    )
     a = pref.select(
         F.col("doc_id").alias("id1"),
         F.col("_n").alias("n1"),
@@ -1233,7 +1444,7 @@ def prefix_jaccard_join(
         .groupBy("id1", "id2")
         .agg(F.min("n1").alias("n1"), F.min("n2").alias("n2"))
     )
-    inter_pairs = _token_set_intersections(cand, ids, bitset_max_words)
+    inter_pairs = _token_set_intersections(cand, ids, bitset_max_words, vocab=vocab)
     union = F.col("n1") + F.col("n2") - F.col("inter")
     return (
         inter_pairs.select(
@@ -1251,7 +1462,7 @@ def prefix_jaccard_join(
 
 
 def _token_set_intersections(
-    cand: DataFrame, ids: DataFrame, bitset_max_words: int
+    cand: DataFrame, ids: DataFrame, bitset_max_words: int, vocab: int | None = None
 ) -> DataFrame:
     """cand(id1, id2, ...) + ids(doc_id, tids sorted dense int64) ->
     cand columns + ``inter`` (exact |t1 ∩ t2|), zero per-row allocation.
@@ -1262,9 +1473,12 @@ def _token_set_intersections(
     whole-stage codegen. Fallback for unbounded vocabulary: explode both
     sides and count shared tokens with one aggregate — join algebra only.
     """
-    vocab = int(
-        ids.agg(F.coalesce(F.max(F.element_at("tids", -1)), F.lit(0))).collect()[0][0]
-    )
+    if vocab is None:
+        vocab = int(
+            ids.agg(
+                F.coalesce(F.max(F.element_at("tids", -1)), F.lit(0))
+            ).collect()[0][0]
+        )
     words = (vocab + 63) // 64
     if 0 < words <= bitset_max_words:
         tk = ids.select(

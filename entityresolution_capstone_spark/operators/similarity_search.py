@@ -1,14 +1,18 @@
 """Similarity search over embedding columns (array<float>).
 
 - brute-force cosine top-k: the exact baseline; broadcast the (small) query
-  set, score with the kernel="auto" cosine — static whole-stage-codegen
-  expressions at dim ≤ MAX_STATIC_DIM (the faster form now that the huge
-  generated methods JIT, docs/SCALE.md round-5), the ordered-fold Arrow
-  kernel above it (functions/vector.pandas_cosine_guarded — dim-unbounded,
-  bit-identical fold order) — then window top-k. The interpreted
-  zip_with+aggregate form both replace anti-scales at high in-JVM
-  concurrency. Zero-norm vectors score cosine 0.0 by contract on BOTH
-  kernels (explicitly guarded, not NaN-dropped).
+  set, score with the Arrow ordered-fold cosine
+  (functions/vector.pandas_cosine_guarded — dim-unbounded, bit-identical
+  fold order vs the static form), then window top-k. The cosine kernel is
+  FORCED to Arrow here (r6, VERDICT r5 item 1): the crossJoin(broadcast)
+  plan is a BroadcastNestedLoopJoin, which gets NO whole-stage codegen, so
+  a static dim-unrolled expression would run on the interpreted expression
+  path per pair — measured 6.4x slower at local[32] (BENCH_r05 q_topk 6.80s
+  vs 1.06s). kernel="auto" elsewhere means "static under codegen-capable
+  joins, Arrow above MAX_STATIC_DIM or under no-codegen plans". Both
+  kernels replace the interpreted zip_with+aggregate form, which
+  anti-scales at high in-JVM concurrency. Zero-norm vectors score cosine
+  0.0 by contract on BOTH kernels (explicitly guarded, not NaN-dropped).
 - LSH-bucketed ANN: deterministic random-hyperplane signatures with *integer*
   plane vectors (derived from index arithmetic, no RNG) so the bucketing is
   exactly reproducible in ANSI SQL for the correctness oracle. Candidates are
@@ -89,9 +93,24 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "auto",
 ) -> DataFrame:
-    """(query_id, neighbor_id, cosine, rank<=k), exact. Queries are broadcast."""
+    """(query_id, neighbor_id, cosine, rank<=k), exact. Queries are broadcast.
+
+    ``kernel="auto"`` resolves to the ARROW cosine here regardless of dim
+    (r6, VERDICT r5 item 1): this plan is a BroadcastNestedLoopJoin —
+    crossJoin against a broadcast side — and BNLJ gets NO whole-stage
+    codegen, so the static dim-unrolled cosine would be evaluated by the
+    interpreted expression path once per (corpus x queries) pair: the exact
+    anti-pattern the static kernels exist to avoid (measured: BENCH_r05
+    q_topk 6.80s vs 1.06s at local[32], dim 64). The plan-shape rule:
+    static codegen only above codegen-capable joins (sort-merge / hash —
+    see ann_topk, embedding dedup); Arrow under BNLJ or above
+    MAX_STATIC_DIM. ``kernel="static"`` remains available for explicit
+    experiments; results are bit-identical either way (ordered fold)."""
     dim = probe_dim(corpus, vec_col)
+    if kernel == "auto":
+        kernel = "arrow"
     c = _with_norm(corpus, id_col, vec_col, dim)
     q = _with_norm(queries, id_col, vec_col, dim).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
@@ -102,9 +121,9 @@ def brute_force_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("norm"), dim).alias(
-                "cosine"
-            ),
+            _cosine(
+                F.col("qv"), F.col("v"), F.col("qn"), F.col("norm"), dim, kernel=kernel
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

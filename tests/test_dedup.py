@@ -245,6 +245,30 @@ def test_jaccard_verify_array_matches_explode(spark, documents, docs):
     assert ra == rb
 
 
+def test_jaccard_verify_bitset_matches_explode(spark, documents, docs):
+    """r6 bitset verify == explode verify, value-for-value (same integers,
+    same one final division -> bit-identical doubles, asserted unrounded)."""
+    from entityresolution_capstone_spark.operators.dedup import (
+        dedup_token_dict,
+        minhash_candidate_pairs,
+        token_jaccard_verify,
+        MinHashConfig,
+    )
+
+    cfg = MinHashConfig()
+    tdict = dedup_token_dict(docs)
+    cand = minhash_candidate_pairs(docs, tdict, cfg).cache()
+    a = token_jaccard_verify(cand, docs, 0.5, strategy="explode")
+    b = token_jaccard_verify(cand, docs, 0.5, strategy="bitset", token_dict=tdict)
+    c = token_jaccard_verify(cand, docs, 0.5, strategy="auto")  # derives dict
+    ra = sorted((r["id1"], r["id2"], r["jaccard"]) for r in a.collect())
+    rb = sorted((r["id1"], r["id2"], r["jaccard"]) for r in b.collect())
+    rc = sorted((r["id1"], r["id2"], r["jaccard"]) for r in c.collect())
+    assert len(ra) > 0
+    assert ra == rb == rc
+    cand.unpersist()
+
+
 def test_bucket_pairs_salted_matches_naive(spark, docs):
     """Skew-sliced pair enumeration == naive self-join, on real hot buckets.
 

@@ -76,3 +76,22 @@ def test_minhash_error_identical_docs(spark):
         assert 0.0 <= r["est"] <= 1.0
         assert 0.0 <= r["jaccard"] <= 1.0
         assert abs(r["abs_err"] - abs(r["est"] - r["jaccard"])) < 1e-9
+
+
+def test_prefix_join_bitset_matches_groupby_plan(spark):
+    """r6 emit-once bitset plan == the generic pair-groupBy plan, row for
+    row (forcing the fallback via bitset_max_words=0 on the same input)."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    for t in (0.5, 0.7):
+        tn = int(t * 1_000_000)
+        fast = sorted(
+            (r["id1"], r["id2"], r["inter"], r["union"], r["jaccard"])
+            for r in prefix_jaccard_join(docs, threshold_num=tn).collect()
+        )
+        slow = sorted(
+            (r["id1"], r["id2"], r["inter"], r["union"], r["jaccard"])
+            for r in prefix_jaccard_join(
+                docs, threshold_num=tn, bitset_max_words=0
+            ).collect()
+        )
+        assert fast == slow and len(fast) > 0, f"threshold {t}"

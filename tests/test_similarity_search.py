@@ -149,3 +149,16 @@ def test_cosine_kernels_bit_identical(spark, embeddings):
         assert r["ca"] == r["cs"], r  # bitwise, no rounding
     zeros = [r for r in out if r["id2"] == 10_000_000]
     assert zeros and all(r["ca"] == 0.0 for r in zeros)
+
+
+def test_brute_force_topk_plan_uses_arrow_kernel(spark, embeddings, queries):
+    """Regression pin for VERDICT r5 item 1: the brute-force plan is a
+    BroadcastNestedLoopJoin (no whole-stage codegen), so kernel="auto" must
+    resolve to the Arrow cosine there — a static dim-unrolled expression
+    under BNLJ runs on the interpreted per-pair path (6.4x at local[32])."""
+    plan = S.brute_force_topk(embeddings, queries, k=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" in plan or "ArrowEval" in plan
+    # and no interpreted element_at unroll on the pair stream
+    assert "element_at" not in plan
