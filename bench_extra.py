@@ -271,6 +271,7 @@ def main():
                         "in_mb": round(s.get("inputBytes", 0) / 1e6, 1),
                         "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
                         "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                        "gc_s": round(s.get("jvmGcTime", 0) / 1e3, 1),
                     }
                 )
             with open("/tmp/ercs_stage_dump.json", "w") as f:

@@ -158,8 +158,32 @@ def _jaro_match_bitparallel(a, la, b, lb, window, lmax):
     return matched_a, matched_b
 
 
+def _shared_eq_tensor(
+    a: np.ndarray, b: np.ndarray, lb_s: int, lmax: int
+) -> np.ndarray:
+    """(lmax, ceil(lmax/64), n) uint64 tensor: bit j of word w at source
+    position i == (b[row, 64w+j] == a[row, i] and 64w+j < lb_s).
+
+    This is BOTH the jaro matcher's per-source-position candidate table AND
+    — because Levenshtein is symmetric, so Myers can run with pattern=b and
+    text=a — the Myers Peq gather (its first ceil(lb_s/64) words). Building
+    it once per chunk removes one full Peq build + gather from the fused
+    jw+lev kernel (the two were ~40% of its DRAM traffic, the contended
+    bottleneck at 32 workers)."""
+    n = a.shape[0]
+    n_sym = int(max(a.max(initial=0), b.max(initial=0))) + 1
+    peq = _build_peq(b, np.full(n, lb_s, dtype=np.int64), lmax, n_sym)
+    rows = np.arange(n)
+    return np.ascontiguousarray(peq[rows[:, None], a[:, :lmax], :].transpose(1, 2, 0))
+
+
 def _jaro_match_bitparallel_uniform(
-    a: np.ndarray, b: np.ndarray, la_s: int, lb_s: int, lmax: int
+    a: np.ndarray,
+    b: np.ndarray,
+    la_s: int,
+    lb_s: int,
+    lmax: int,
+    eq_all: np.ndarray | None = None,
 ):
     """:func:`_jaro_match_bitparallel` specialized to UNIFORM lengths (every
     row has la == la_s and lb == lb_s) — the shape of the bench/pipeline
@@ -174,13 +198,11 @@ def _jaro_match_bitparallel_uniform(
     n = a.shape[0]
     W = (lmax + 63) // 64
     window = max(max(la_s, lb_s) // 2 - 1, 0)
-    n_sym = int(max(a.max(initial=0), b.max(initial=0))) + 1
-    peq = _build_peq(b, np.full(n, lb_s, dtype=np.int64), lmax, n_sym)
-    rows = np.arange(n)
-    # one gather for every source position, then transpose to (lmax, W, n) so
-    # the inner loop reads CONTIGUOUS (n,) slices instead of striding through
-    # an (n, lmax, W) cube (cache-miss bound at 128-char chunks)
-    eq_all = np.ascontiguousarray(peq[rows[:, None], a[:, :lmax], :].transpose(1, 2, 0))
+    if eq_all is None:
+        # one gather for every source position, transposed to (lmax, W, n)
+        # so the inner loop reads CONTIGUOUS (n,) slices instead of striding
+        # through an (n, lmax, W) cube (cache-miss bound at 128-char chunks)
+        eq_all = _shared_eq_tensor(a, b, lb_s, lmax)
     ones = np.uint64(0xFFFFFFFFFFFFFFFF)
     unmatched = np.empty((W, n), dtype=np.uint64)
     for w in range(W):
@@ -306,16 +328,37 @@ def _jaro_coded(
             not_matched_b[hit, first[has]] = False
             matched_a[hit, i] = True
 
-    m = matched_a.sum(axis=1).astype(np.float64)
+    return _jaro_sim_from_matches(a, la, b, lb, matched_a, matched_b)
 
-    # Transpositions: compare matched chars of a (in i-order) with matched
-    # chars of b (in j-order), compacted left via a stable sort on ~matched.
-    order_a = np.argsort(~matched_a, axis=1, kind="stable")
-    order_b = np.argsort(~matched_b, axis=1, kind="stable")
-    ca = np.take_along_axis(a, order_a, axis=1)
-    cb = np.take_along_axis(b, order_b, axis=1)
-    valid = cols < m[:, None]
-    t = ((ca != cb) & valid).sum(axis=1) / 2.0
+
+def _jaro_sim_from_matches(
+    a: np.ndarray,
+    la: np.ndarray,
+    b: np.ndarray,
+    lb: np.ndarray,
+    matched_a: np.ndarray,
+    matched_b: np.ndarray,
+) -> np.ndarray:
+    """Jaro score from the greedy match masks.
+
+    Transpositions (r6): the matched chars of ``a`` in i-order and of ``b``
+    in j-order are extracted with ONE boolean-mask compress each —
+    ``a[matched_a]`` is row-major, i.e. grouped by row with ascending
+    position, exactly the compacted order the old stable argsort +
+    take_along_axis produced at ~8 MB of sort traffic per chunk. Both flats
+    have the same per-row length m (each match pairs one position per
+    side), so positionwise comparison + a bincount over mismatch rows is
+    the transposition count, bit-identically."""
+    n = len(la)
+    m = matched_a.sum(axis=1).astype(np.float64)
+    fa = a[matched_a]
+    fb = b[matched_b]
+    mism = fa != fb
+    if mism.any():
+        rows_a = np.nonzero(matched_a)[0]
+        t = np.bincount(rows_a[mism], minlength=n) / 2.0
+    else:
+        t = np.zeros(n)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         sim = (m / la + m / lb + (m - t) / m) / 3.0
@@ -349,6 +392,18 @@ def _jaro_winkler_coded(
     the remap is injective, so equality (all this check reads) is unchanged
     from the raw-codepoint check the standalone wrapper used to make."""
     jaro = _jaro_coded(a, la, b, lb)
+    return _winkler_from_jaro(jaro, a, la, b, lb, prefix_weight)
+
+
+def _winkler_from_jaro(
+    jaro: np.ndarray,
+    a: np.ndarray,
+    la: np.ndarray,
+    b: np.ndarray,
+    lb: np.ndarray,
+    prefix_weight: float,
+) -> np.ndarray:
+    """Unconditional Winkler prefix boost on a precomputed jaro vector."""
     upto = min(4, a.shape[1], b.shape[1])
     if upto == 0:
         return jaro
@@ -469,6 +524,57 @@ def _lev_myers_uniform(a: np.ndarray, la_s: int, b: np.ndarray, lb_s: int) -> np
     for j in range(lb_s):
         carry = np.zeros(n, dtype=np.uint64)
         hp_c = np.ones(n, dtype=np.uint64)  # left-border carry-in for HP<<1
+        hn_c = np.zeros(n, dtype=np.uint64)
+        for w in range(W):
+            eqw = eq_all[j, w]
+            x = eqw & vp[w]
+            s1w = x + vp[w]
+            c1 = s1w < x
+            s2w = s1w + carry
+            c2 = s2w < s1w
+            carry = (c1 | c2).astype(np.uint64)
+            d0 = (s2w ^ vp[w]) | eqw | vn[w]
+            hp = vn[w] | ~(d0 | vp[w])
+            hn = vp[w] & d0
+            if w == wm:
+                score += ((hp >> ls) & one).astype(np.int64)
+                score -= ((hn >> ls) & one).astype(np.int64)
+            hp_s = (hp << one) | hp_c
+            hn_s = (hn << one) | hn_c
+            hp_c = hp >> s63
+            hn_c = hn >> s63
+            vp[w] = hn_s | ~(d0 | hp_s)
+            vn[w] = hp_s & d0
+    return score.astype(np.float64)
+
+
+def _lev_myers_uniform_swapped(
+    eq_all: np.ndarray, la_s: int, lb_s: int
+) -> np.ndarray:
+    """Myers over the SHARED equality tensor (:func:`_shared_eq_tensor`),
+    with pattern = b and text = a — Levenshtein is symmetric, so the
+    distance is identical to :func:`_lev_myers_uniform`'s pattern-a
+    orientation (integer-exact, parity-pinned), and the orientation swap is
+    what lets the fused jw+lev kernel reuse the jaro matcher's Peq gather
+    instead of building its own."""
+    n = eq_all.shape[2]
+    if lb_s == 0:
+        return np.full(n, float(la_s))
+    W = (lb_s + 63) // 64
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    vp = np.empty((W, n), dtype=np.uint64)
+    for w in range(W):
+        bits = min(max(lb_s - 64 * w, 0), 64)
+        vp[w] = ones if bits >= 64 else np.uint64((1 << bits) - 1)
+    vn = np.zeros((W, n), dtype=np.uint64)
+    score = np.full(n, lb_s, dtype=np.int64)
+    wm = (lb_s - 1) // 64
+    ls = np.uint64((lb_s - 1) % 64)
+    one = np.uint64(1)
+    s63 = np.uint64(63)
+    for j in range(la_s):
+        carry = np.zeros(n, dtype=np.uint64)
+        hp_c = np.ones(n, dtype=np.uint64)
         hn_c = np.zeros(n, dtype=np.uint64)
         for w in range(W):
             eqw = eq_all[j, w]
@@ -660,6 +766,50 @@ def make_weighted_char_sim_udf(weighted: dict[str, float], max_len: int = DEFAUL
         "lev": _scaled_lev_coded,
     }
     parts = [(kernels[k], w) for k, w in weighted.items()]
+    names = list(weighted)
+    total_w = float(sum(weighted.values()))
+
+    def _fused_uniform_chunk(a, la_s, b, lb_s, lmax):
+        """Uniform-length chunk with the SHARED equality tensor: byte-equal
+        pairs split off first (every kernel scores them 1.0, so the weighted
+        sum is Σw — the same value each kernel's own equal fast path
+        produces), then ONE _shared_eq_tensor feeds both the jaro matcher
+        and the side-swapped Myers. Bit-identical to summing the standalone
+        kernels (each helper is the exact code path those kernels run)."""
+        n_c = a.shape[0]
+        acc = np.full(n_c, total_w)
+        equal = (
+            (a[:, :lmax] == b[:, :lmax]).all(axis=1)
+            if la_s == lb_s
+            else np.zeros(n_c, dtype=bool)
+        )
+        idx = np.nonzero(~equal)[0]
+        if len(idx) == 0:
+            return acc
+        au, bu = a[idx, :lmax], b[idx, :lmax]
+        n_u = len(idx)
+        eq_all = _shared_eq_tensor(au, bu, lb_s, lmax)
+        sub = np.zeros(n_u)
+        jaro = None
+        if "jaro" in names or "jw" in names:
+            la_u = np.full(n_u, la_s, dtype=np.int64)
+            lb_u = np.full(n_u, lb_s, dtype=np.int64)
+            ma, mb = _jaro_match_bitparallel_uniform(
+                au, bu, la_s, lb_s, lmax, eq_all=eq_all
+            )
+            jaro = _jaro_sim_from_matches(au, la_u, bu, lb_u, ma, mb)
+        for k, w in weighted.items():
+            if k == "jaro":
+                sub += w * jaro
+            elif k == "jw":
+                sub += w * _winkler_from_jaro(
+                    jaro, au, la_u, bu, lb_u, JW_PREFIX_WEIGHT
+                )
+            else:  # lev
+                dist = _lev_myers_uniform_swapped(eq_all, la_s, lb_s)
+                sub += w * (1.0 - dist / float(max(la_s, lb_s)))
+        acc[idx] = sub
+        return acc
 
     @pandas_udf("double")
     def sim_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
@@ -675,7 +825,19 @@ def make_weighted_char_sim_udf(weighted: dict[str, float], max_len: int = DEFAUL
             a, la = _encode_batch(x[lo:hi], max_len)
             b, lb = _encode_batch(y[lo:hi], max_len)
             a, b = _compact_codes(a, b)
-            acc = np.zeros(hi - lo, dtype=np.float64)
+            n_c = hi - lo
+            if (
+                n_c
+                and a.dtype == np.uint8
+                and la.min() == la.max()
+                and lb.min() == lb.max()
+                and max(int(la[0]), int(lb[0])) > 0
+            ):
+                out[lo:hi] = _fused_uniform_chunk(
+                    a, int(la[0]), b, int(lb[0]), max(int(la[0]), int(lb[0]))
+                )
+                continue
+            acc = np.zeros(n_c, dtype=np.float64)
             for fn, w in parts:
                 acc += w * fn(a, la, b, lb)
             out[lo:hi] = acc

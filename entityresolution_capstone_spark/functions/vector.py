@@ -40,6 +40,41 @@ from pyspark.sql.functions import pandas_udf
 MAX_STATIC_DIM = 256
 
 
+_HUGE_JIT_CACHE: dict[str, bool] = {}
+
+
+def huge_methods_jit_enabled(spark) -> bool:
+    """True iff this driver JVM was started with ``-XX:-DontCompileHugeMethods``.
+
+    The static kernels' crossover vs the Arrow kernels was measured WITH the
+    flag (session.py sets it via spark.driver.defaultJavaOptions) — without
+    it, HotSpot refuses to JIT the large generated whole-stage-codegen
+    methods and the static form silently runs in the bytecode interpreter,
+    the slow regime the r4 numbers measured (ADVICE r5). Sessions created
+    through an already-running JVM (spark-submit without the flag, an
+    existing py4j gateway/notebook) never see defaultJavaOptions, so
+    ``kernel="auto"`` dispatch probes the ACTUAL JVM arguments and falls
+    back to Arrow when the flag is absent. Numerics are identical either
+    way; this is purely a plan-speed decision. Probed once per application.
+    """
+    try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _HUGE_JIT_CACHE:
+            return _HUGE_JIT_CACHE[app_id]
+        mx = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        args = mx.getRuntimeMXBean().getInputArguments()
+        found = any(
+            "-XX:-DontCompileHugeMethods" in str(args.get(i))
+            for i in range(args.size())
+        )
+        _HUGE_JIT_CACHE[app_id] = found
+        return found
+    except Exception:
+        # no py4j access (e.g. Spark Connect): assume the session factory's
+        # defaults applied
+        return True
+
+
 def _check_dim(dim: int) -> None:
     if not isinstance(dim, int) or dim <= 0:
         raise ValueError(f"dim must be a positive int, got {dim!r}")
@@ -150,7 +185,18 @@ def assert_nonzero_norm(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         else pandas_dot(vec_col, vec_col)
     )
     v = F.col(vec_col)
-    ok = v.isNotNull() & (sq > 0) & ~F.isnan(sq)
+    # finite check must bound ABOVE too (ADVICE r5): an overflowed sq_norm
+    # is +inf, not NaN — it passed the old isnan-only guard, and downstream
+    # the static cosine scored such pairs NaN, which Spark orders ABOVE all
+    # doubles, i.e. a false-positive `>= threshold` match (while the arrow
+    # kernel NULL-dropped the same pair as a false negative). inf fails
+    # `sq < lit(inf)`; NaN fails every comparison; both now raise here.
+    ok = (
+        v.isNotNull()
+        & (sq > 0)
+        & ~F.isnan(sq)
+        & (sq < F.lit(float("inf")))
+    )
     msg = F.concat(
         F.lit(
             f"vector column '{vec_col}': zero/NULL/non-finite norm (sq_norm="
@@ -181,6 +227,17 @@ def _as_matrix(s: pd.Series, side: str) -> np.ndarray:
         m = np.asarray(s.tolist(), dtype="float64")
     except (ValueError, TypeError):
         lens = sorted({len(v) for v in s if v is not None})
+        if len(lens) <= 1:
+            # uniform lengths but the conversion still failed: the culprit
+            # is an element inside a vector, not raggedness (ADVICE r5 —
+            # e.g. [1.0, None] raises TypeError and was misreported as
+            # 'ragged vector lengths [2]')
+            raise ValueError(
+                f"vector kernel input '{side}': NULL/non-numeric element "
+                "inside a vector (lengths are uniform) — the arrow kernels "
+                "require non-null fixed-dim numeric vectors; run "
+                "functions.vector.assert_dim / assert_nonzero_norm upstream"
+            ) from None
         raise ValueError(
             f"vector kernel input '{side}': ragged vector lengths "
             f"{lens[:8]}{'...' if len(lens) > 8 else ''} — the arrow "

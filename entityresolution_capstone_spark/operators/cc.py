@@ -117,32 +117,58 @@ def connected_components(
     # materialize the input once: each round reads `cur` from several branches
     # (groupBy + join on both sides of the self-join)
     cur = cur.checkpoint(eager=True) if checkpoint else cur.localCheckpoint(eager=True)
+    # Scale-adaptive round partitioning (r6, guide §2.2/§6): each round is
+    # ~6 shuffle stages over the frontier, and the frontier is usually tiny
+    # relative to the pair stream that produced it (thresholded edges). At
+    # the session default (one partition per core) every round schedules
+    # cores x stages near-empty tasks whose fixed costs dominate the round —
+    # measured at sf0.1/local[32]: 63k-edge rounds ran 32-task stages of
+    # ~200 rows each, >25 stages of pure per-task overhead. Partition count
+    # is derived from the DATA (edges per partition, ~32 MB of long pairs),
+    # clamped to the session setting so a genuinely large edge set keeps
+    # full parallelism — this is data-sized partitioning, not a local-mode
+    # constant (a 10^10-edge frontier still uses every configured
+    # partition; ERCS_CC_EDGES_PER_PART overrides the density).
+    spark = edges.sparkSession
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_part = int(os.environ.get("ERCS_CC_EDGES_PER_PART", "2000000"))
+    n_edges = cur.count()
+    round_parts = max(1, min(base_parts, (n_edges + per_part - 1) // per_part))
     prev_sig = None
-    for i in range(max_iterations):
-        t0 = time.time()
-        cur = _small_star(_sym(_large_star(_sym(cur))))
-        if checkpoint:
-            cur = cur.checkpoint(eager=True)  # truncate lineage per round
-        else:
-            cur = cur.localCheckpoint(eager=True)
-        if _TRACE:
-            print(f"[cc] round {i} materialize {time.time() - t0:.2f}s", file=sys.stderr)
-        if (i + 1) % probe_every and i + 1 < max_iterations:
-            continue
-        t0 = time.time()
-        sig_row = cur.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("id1", "id2")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        if _TRACE:
-            print(
-                f"[cc] round {i} probe {time.time() - t0:.2f}s sig={sig}",
-                file=sys.stderr,
-            )
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if round_parts < base_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
+        for i in range(max_iterations):
+            t0 = time.time()
+            cur = _small_star(_sym(_large_star(_sym(cur))))
+            if checkpoint:
+                cur = cur.checkpoint(eager=True)  # truncate lineage per round
+            else:
+                cur = cur.localCheckpoint(eager=True)
+            if _TRACE:
+                print(
+                    f"[cc] round {i} materialize {time.time() - t0:.2f}s",
+                    file=sys.stderr,
+                )
+            if (i + 1) % probe_every and i + 1 < max_iterations:
+                continue
+            t0 = time.time()
+            sig_row = cur.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("id1", "id2")), F.lit(0)).alias("h"),
+            ).collect()[0]
+            sig = (sig_row["n"], sig_row["h"])
+            if _TRACE:
+                print(
+                    f"[cc] round {i} probe {time.time() - t0:.2f}s sig={sig}",
+                    file=sys.stderr,
+                )
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     # converged: every edge is (node, root)
     return cur.select(F.col("id1").alias("conv_id"), F.col("id2").alias("cluster_id"))
 

@@ -820,9 +820,18 @@ def embedding_cosine_duplicates(
         # static 3.91 s vs arrow 5.67 s at dim 64 — the r4 measurement that
         # favored arrow was taken with the static method running in the
         # HotSpot bytecode interpreter (docs/SCALE.md round-5). Static wins
-        # while the unroll fits MAX_STATIC_DIM; wide embeddings take the
-        # dim-unbounded Arrow ordered fold. Both are bit-identical.
-        kernel = "static" if dim <= V.MAX_STATIC_DIM else "arrow"
+        # while the unroll fits MAX_STATIC_DIM *and* the JVM actually JITs
+        # huge generated methods (ADVICE r5: a session whose JVM predates
+        # session.py's -XX:-DontCompileHugeMethods never sees the flag and
+        # static regresses to the interpreted regime — probe the real JVM
+        # args and fall back to Arrow). Wide embeddings take the
+        # dim-unbounded Arrow ordered fold. All kernels are bit-identical.
+        kernel = (
+            "static"
+            if dim <= V.MAX_STATIC_DIM
+            and V.huge_methods_jit_enabled(embeddings.sparkSession)
+            else "arrow"
+        )
     v = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -298,3 +298,49 @@ from sim order by pid
     )
     assert len(got) == len(pairs)
     assert (got == exp).all(), np.nonzero(got != exp)[0][:5]
+
+
+def test_weighted_char_udf_uniform_fused_path(spark):
+    """r6 shared-tensor fused path: uniform-length chunks (the bench/pipeline
+    shape) route through _fused_uniform_chunk (one Peq + gather shared by
+    the jaro matcher and a side-swapped Myers). Pin it bit-exactly against
+    the per-kernel wrappers on uniform-length rows with byte-equal pairs,
+    an all-empty-one-side row set, and NULLs."""
+    import numpy as np
+
+    from entityresolution_capstone_spark.functions.similarity import (
+        jaro_winkler_batch,
+        make_weighted_char_sim_udf,
+        scaled_levenshtein_batch,
+    )
+
+    base = "entity resolution at scale needs fast kernels and careful tests!"
+    assert len(base) == 64
+    rows = [
+        (base, base[:-1] + "?"),            # near-dup
+        (base, base),                        # byte-equal fast path
+        (base.upper(), base),                # all mismatch case
+        ("z" * 64, base),                    # degenerate repeat
+        (base, "q" * 64),
+    ]
+    df = spark.createDataFrame(rows, "p1 string, p2 string")
+    udf = make_weighted_char_sim_udf({"jw": 0.6, "lev": 0.4}, max_len=64)
+    got = [r["s"] for r in df.select(udf("p1", "p2").alias("s")).collect()]
+    x = np.array([r[0] for r in rows], dtype=object)
+    y = np.array([r[1] for r in rows], dtype=object)
+    want = 0.6 * jaro_winkler_batch(x, y, max_len=64) + 0.4 * scaled_levenshtein_batch(
+        x, y, max_len=64
+    )
+    assert got == list(want)  # bit-exact, not allclose
+
+    # asymmetric-uniform (la != lb constant) + NULL rows
+    rows2 = [(base[:40], base), (base[:40], base[:10] + "x" * 54), (None, base)]
+    df2 = spark.createDataFrame(rows2, "p1 string, p2 string")
+    got2 = [r["s"] for r in df2.select(udf("p1", "p2").alias("s")).collect()]
+    x2 = np.array([r[0] or "" for r in rows2[:2]], dtype=object)
+    y2 = np.array([r[1] for r in rows2[:2]], dtype=object)
+    want2 = 0.6 * jaro_winkler_batch(x2, y2, max_len=64) + 0.4 * scaled_levenshtein_batch(
+        x2, y2, max_len=64
+    )
+    assert got2[:2] == list(want2)
+    assert got2[2] is None
