@@ -161,20 +161,39 @@ def _jaro_match_bitparallel(a, la, b, lb, window, lmax):
 def _shared_eq_tensor(
     a: np.ndarray, b: np.ndarray, lb_s: int, lmax: int
 ) -> np.ndarray:
-    """(lmax, ceil(lmax/64), n) uint64 tensor: bit j of word w at source
-    position i == (b[row, 64w+j] == a[row, i] and 64w+j < lb_s).
+    """(ceil(lmax/64), lmax, n) uint64 tensor: bit j of word w at source
+    position i == (b[row, 64w+j] == a[row, i] and 64w+j < lb_s) — i.e.
+    ``out[w, i]`` is the contiguous per-row candidate word the inner loops
+    stream.
 
     This is BOTH the jaro matcher's per-source-position candidate table AND
     — because Levenshtein is symmetric, so Myers can run with pattern=b and
     text=a — the Myers Peq gather (its first ceil(lb_s/64) words). Building
     it once per chunk removes one full Peq build + gather from the fused
     jw+lev kernel (the two were ~40% of its DRAM traffic, the contended
-    bottleneck at 32 workers)."""
+    bottleneck at 32 workers). The Peq table is built word-transposed
+    ((W, n_sym, n)) so each word's gather lands directly in the final
+    layout — no (n, lmax, W) intermediate + 8 MB transpose copy."""
     n = a.shape[0]
+    W = (lmax + 63) // 64
     n_sym = int(max(a.max(initial=0), b.max(initial=0))) + 1
-    peq = _build_peq(b, np.full(n, lb_s, dtype=np.int64), lmax, n_sym)
+    valid = np.arange(lmax)[None, :] < np.full((n, 1), lb_s)
+    peq_t = np.empty((W, n_sym, n), dtype=np.uint64)
+    pad = W * 8
+    for c in range(n_sym):
+        mask = (b[:, :lmax] == c) & valid
+        packed = np.packbits(mask, axis=1, bitorder="little")
+        if packed.shape[1] < pad:
+            packed = np.pad(packed, ((0, 0), (0, pad - packed.shape[1])))
+        pw = packed.view(np.uint64)  # (n, W)
+        for w in range(W):
+            peq_t[w, c] = pw[:, w]
     rows = np.arange(n)
-    return np.ascontiguousarray(peq[rows[:, None], a[:, :lmax], :].transpose(1, 2, 0))
+    at = a[:, :lmax].T  # (lmax, n)
+    out = np.empty((W, lmax, n), dtype=np.uint64)
+    for w in range(W):
+        out[w] = peq_t[w][at, rows]
+    return out
 
 
 def _jaro_match_bitparallel_uniform(
@@ -222,7 +241,7 @@ def _jaro_match_bitparallel_uniform(
             if nbits <= 0:
                 continue
             span = ones if nbits >= 64 else np.uint64(((1 << nbits) - 1) << wlo)
-            cw = eq_all[i, w] & unmatched[w]
+            cw = eq_all[w, i] & unmatched[w]
             if span != ones:
                 cw &= span
             if found is not None:
@@ -350,12 +369,16 @@ def _jaro_sim_from_matches(
     side), so positionwise comparison + a bincount over mismatch rows is
     the transposition count, bit-identically."""
     n = len(la)
-    m = matched_a.sum(axis=1).astype(np.float64)
+    m_int = matched_a.sum(axis=1)
+    m = m_int.astype(np.float64)
     fa = a[matched_a]
     fb = b[matched_b]
     mism = fa != fb
     if mism.any():
-        rows_a = np.nonzero(matched_a)[0]
+        # row index of each flat match: the boolean compress is row-major,
+        # so it is simply arange repeated by the per-row match counts — no
+        # nonzero() scan needed
+        rows_a = np.repeat(np.arange(n), m_int)
         t = np.bincount(rows_a[mism], minlength=n) / 2.0
     else:
         t = np.zeros(n)
@@ -567,35 +590,71 @@ def _lev_myers_uniform_swapped(
         bits = min(max(lb_s - 64 * w, 0), 64)
         vp[w] = ones if bits >= 64 else np.uint64((1 << bits) - 1)
     vn = np.zeros((W, n), dtype=np.uint64)
-    score = np.full(n, lb_s, dtype=np.int64)
+    # score stays uint64: a Levenshtein distance is never negative at any
+    # intermediate step, so the +-1 updates cannot wrap
+    score = np.full(n, lb_s, dtype=np.uint64)
     wm = (lb_s - 1) // 64
     ls = np.uint64((lb_s - 1) % 64)
     one = np.uint64(1)
     s63 = np.uint64(63)
+    # preallocated buffers: the inner recurrence runs ~la_s*W times over
+    # (n,) words; allocation-free in-place ufuncs keep the working set in a
+    # handful of L2-resident buffers (the kernels are bandwidth-bound under
+    # 32-worker contention, so avoided traffic is the win, not just malloc)
+    carry = np.empty(n, dtype=np.uint64)
+    hp_c = np.empty(n, dtype=np.uint64)
+    hn_c = np.empty(n, dtype=np.uint64)
+    x = np.empty(n, dtype=np.uint64)
+    s1w = np.empty(n, dtype=np.uint64)
+    s2w = np.empty(n, dtype=np.uint64)
+    d0 = np.empty(n, dtype=np.uint64)
+    hp = np.empty(n, dtype=np.uint64)
+    hn = np.empty(n, dtype=np.uint64)
+    t1 = np.empty(n, dtype=np.uint64)
+    c1 = np.empty(n, dtype=bool)
+    c2 = np.empty(n, dtype=bool)
     for j in range(la_s):
-        carry = np.zeros(n, dtype=np.uint64)
-        hp_c = np.ones(n, dtype=np.uint64)
-        hn_c = np.zeros(n, dtype=np.uint64)
+        carry[:] = 0
+        hp_c[:] = 1
+        hn_c[:] = 0
         for w in range(W):
-            eqw = eq_all[j, w]
-            x = eqw & vp[w]
-            s1w = x + vp[w]
-            c1 = s1w < x
-            s2w = s1w + carry
-            c2 = s2w < s1w
-            carry = (c1 | c2).astype(np.uint64)
-            d0 = (s2w ^ vp[w]) | eqw | vn[w]
-            hp = vn[w] | ~(d0 | vp[w])
-            hn = vp[w] & d0
+            eqw = eq_all[w, j]
+            vpw, vnw = vp[w], vn[w]
+            np.bitwise_and(eqw, vpw, out=x)
+            np.add(x, vpw, out=s1w)
+            np.less(s1w, x, out=c1)
+            np.add(s1w, carry, out=s2w)
+            np.less(s2w, s1w, out=c2)
+            np.logical_or(c1, c2, out=c1)
+            np.copyto(carry, c1, casting="unsafe")
+            np.bitwise_xor(s2w, vpw, out=d0)
+            np.bitwise_or(d0, eqw, out=d0)
+            np.bitwise_or(d0, vnw, out=d0)
+            np.bitwise_or(d0, vpw, out=t1)
+            np.invert(t1, out=t1)
+            np.bitwise_or(t1, vnw, out=hp)
+            np.bitwise_and(vpw, d0, out=hn)
             if w == wm:
-                score += ((hp >> ls) & one).astype(np.int64)
-                score -= ((hn >> ls) & one).astype(np.int64)
-            hp_s = (hp << one) | hp_c
-            hn_s = (hn << one) | hn_c
-            hp_c = hp >> s63
-            hn_c = hn >> s63
-            vp[w] = hn_s | ~(d0 | hp_s)
-            vn[w] = hp_s & d0
+                np.right_shift(hp, ls, out=t1)
+                np.bitwise_and(t1, one, out=t1)
+                score += t1
+                np.right_shift(hn, ls, out=t1)
+                np.bitwise_and(t1, one, out=t1)
+                score -= t1
+            # shift-in carries, then rotate this word's hp/hn into the
+            # next word's carry slots
+            np.left_shift(hp, one, out=t1)
+            np.bitwise_or(t1, hp_c, out=t1)
+            np.right_shift(hp, s63, out=hp_c)
+            np.copyto(hp, t1)
+            np.left_shift(hn, one, out=t1)
+            np.bitwise_or(t1, hn_c, out=t1)
+            np.right_shift(hn, s63, out=hn_c)
+            np.copyto(hn, t1)
+            np.bitwise_or(d0, hp, out=t1)
+            np.invert(t1, out=t1)
+            np.bitwise_or(t1, hn, out=vpw)
+            np.bitwise_and(hp, d0, out=vnw)
     return score.astype(np.float64)
 
 
@@ -826,17 +885,38 @@ def make_weighted_char_sim_udf(weighted: dict[str, float], max_len: int = DEFAUL
             b, lb = _encode_batch(y[lo:hi], max_len)
             a, b = _compact_codes(a, b)
             n_c = hi - lo
-            if (
-                n_c
-                and a.dtype == np.uint8
-                and la.min() == la.max()
-                and lb.min() == lb.max()
-                and max(int(la[0]), int(lb[0])) > 0
-            ):
-                out[lo:hi] = _fused_uniform_chunk(
-                    a, int(la[0]), b, int(lb[0]), max(int(la[0]), int(lb[0]))
-                )
-                continue
+            # modal-length routing: real pair streams are DOMINATED by one
+            # (la, lb) combination (the bench stream is 96% (128, 128) —
+            # prefixes usually fill their budget) but rarely 100% uniform,
+            # so a strict all-uniform gate would never fire. Split the
+            # chunk: the modal subset takes the fused shared-tensor path,
+            # the remainder (typically a few %) the general per-kernel
+            # path. Identical values either way (parity-pinned).
+            if n_c and a.dtype == np.uint8:
+                comb = la * (max_len + 1) + lb
+                vals, counts = np.unique(comb, return_counts=True)
+                mi = int(counts.argmax())
+                la_m = int(vals[mi]) // (max_len + 1)
+                lb_m = int(vals[mi]) % (max_len + 1)
+                if counts[mi] >= 256 and max(la_m, lb_m) > 0:
+                    lmax_m = max(la_m, lb_m)
+                    sel = comb == vals[mi]
+                    if counts[mi] == n_c:
+                        out[lo:hi] = _fused_uniform_chunk(a, la_m, b, lb_m, lmax_m)
+                        continue
+                    acc = np.empty(n_c, dtype=np.float64)
+                    acc[sel] = _fused_uniform_chunk(
+                        a[sel], la_m, b[sel], lb_m, lmax_m
+                    )
+                    rest = ~sel
+                    ar, br = a[rest], b[rest]
+                    lar, lbr = la[rest], lb[rest]
+                    racc = np.zeros(int(rest.sum()), dtype=np.float64)
+                    for fn, w in parts:
+                        racc += w * fn(ar, lar, br, lbr)
+                    acc[rest] = racc
+                    out[lo:hi] = acc
+                    continue
             acc = np.zeros(n_c, dtype=np.float64)
             for fn, w in parts:
                 acc += w * fn(a, la, b, lb)

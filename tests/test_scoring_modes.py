@@ -253,3 +253,35 @@ def test_force_sparse_tfidf_env_matches_dense_path(spark, small, monkeypatch):
     assert set(a) == set(b) and len(a) > 0
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9, k
+
+
+def test_tfidf_hot_cold_split_matches_plain_sparse(spark, small, monkeypatch):
+    """r6 hot/cold token split: the sparse route with the hottest tokens
+    scored as dense mini-vectors (static dot) + tail tokens in the explode
+    join must equal the single explode join — the shared tokens are
+    partitioned between the two sums, so only FP association can differ."""
+    docs, dft, pairs, _ = small
+    cfg = SC.ScoringConfig(weights={"jw": 0.3, "lev": 0.2, "tfidf": 0.5})
+    n = docs.count()
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_SPARSE_TFIDF", "1")
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_HOT_SPLIT", "1")
+    split = SC.score_pairs_slim(pairs, docs, cfg, df_table=dft, corpus_size=n)
+    a = {(r["id1"], r["id2"]): r["attr_sim"] for r in split.collect()}
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_HOT_SPLIT", "0")
+    plain = SC.score_pairs_slim(pairs, docs, cfg, df_table=dft, corpus_size=n)
+    b = {(r["id1"], r["id2"]): r["attr_sim"] for r in plain.collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, k
+
+    # tfidf-only (no char kernels): the pair-restore path must also agree
+    cfg2 = SC.ScoringConfig(weights={"tfidf": 1.0})
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_HOT_SPLIT", "1")
+    s2 = SC.score_pairs_slim(pairs, docs, cfg2, df_table=dft, corpus_size=n)
+    a2 = {(r["id1"], r["id2"]): r["attr_sim"] for r in s2.collect()}
+    monkeypatch.setenv("SPARK_GRAFT_TFIDF_HOT_SPLIT", "0")
+    p2 = SC.score_pairs_slim(pairs, docs, cfg2, df_table=dft, corpus_size=n)
+    b2 = {(r["id1"], r["id2"]): r["attr_sim"] for r in p2.collect()}
+    assert set(a2) == set(b2) and len(a2) > 0
+    for k in a2:
+        assert abs(a2[k] - b2[k]) < 1e-9, k
