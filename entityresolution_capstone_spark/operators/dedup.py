@@ -1251,6 +1251,7 @@ def prefix_jaccard_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     bitset_max_words: int = 64,
+    emit_once_max_words: int = 4,
 ) -> DataFrame:
     """Exact-threshold set-similarity self-join via prefix filtering (the
     PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): returns
@@ -1272,9 +1273,11 @@ def prefix_jaccard_join(
     (range-partitioned ids, no global sort), then ONE equi-join on prefix
     tokens with everything downstream per-row:
 
-    - vocab <= 64·``bitset_max_words``: each doc's token set AND its prefix
-      set are fixed-width int64 bitsets (dense dictionary ids -> bit
-      positions) riding the join rows (2W+1 longs per side). A pair is kept
+    - vocab <= 64·min(``bitset_max_words``, ``emit_once_max_words``): each
+      doc's token set AND its prefix set are fixed-width int64 bitsets
+      (dense dictionary ids -> bit positions) riding the join rows (2W+1
+      longs per side — the width gate keeps that payload smaller than the
+      quadratic join's own row, see the inline comment). A pair is kept
       only on the row whose join token is the MINIMUM shared prefix token —
       emit-once as a per-row predicate instead of the r3 pair-keyed groupBy,
       which was the dominant exchange of the whole query (measured at
@@ -1317,7 +1320,7 @@ def prefix_jaccard_join(
         f"size(tids) - CAST((({threshold_num} * size(tids) + {threshold_denom} - 1) "
         f"DIV {threshold_denom}) AS INT) + 1"
     )
-    if 0 < words <= bitset_max_words:
+    if 0 < words <= min(bitset_max_words, emit_once_max_words):
         # Bitset emit-once plan (r6, guide §2.3/§2.4): the pair-set groupBy
         # the generic plan uses to dedupe multi-token collisions was the
         # dominant exchange of the whole join (measured at sf0.1/local[32]:
@@ -1329,6 +1332,16 @@ def prefix_jaccard_join(
         # one pipelined stage. Same surviving pairs (every candidate shares
         # >= 1 prefix token; the minimum is unique), same integer
         # inter/union, bit-identical jaccard.
+        #
+        # WIDTH GATE (``emit_once_max_words``, r6 skew re-measurement): the
+        # masks ride EVERY row of the quadratic prefix-token join, so the
+        # plan trades the pair-set groupBy for 2·words+1 longs per join
+        # row. At words=1 (this bench corpus) that is ~24 bytes and a clear
+        # win (14.1 -> 2.3s); at words=21 (the Zipf-skew corpus, vocab
+        # ~1.3k) it multiplied the hot-token join stream ~20x in bytes and
+        # measured 208s where the groupBy plan ran ~10s. Above the width
+        # gate the r3 groupBy plan (4-int join rows) is the right shape;
+        # the bitset VERIFY (below) still applies up to bitset_max_words.
         tk = ids.select(
             "doc_id",
             F.size("tids").alias("_n"),
@@ -1378,8 +1391,12 @@ def prefix_jaccard_join(
             *[F.col(f"_p{w}").alias(f"_pb{w}") for w in range(words)],
         ).repartition(n_part, "ptok")
         w0 = F.expr("CAST((ptok - 1) DIV 64 AS INT)")
+        # bits 0..off-1 set; off = 63 needs the literal: shiftleft(1,63) is
+        # Long.MIN and the -1 overflows under ANSI (caught by the skew bench,
+        # whose vocabulary is the first to reach bit 63)
         low_mask = F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST((ptok - 1) % 64 AS INT)) - 1"
+            "CASE WHEN (ptok - 1) % 64 = 63 THEN CAST(9223372036854775807 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), CAST((ptok - 1) % 64 AS INT)) - 1 END"
         )
         min_shared = None
         for w in range(words):

@@ -322,7 +322,16 @@ def score_pairs_slim(
             from ..functions import vector as V
             from ..functions.ids import dense_rank_ids
 
-            H = min(DENSE_TFIDF_MAX_VOCAB, vocab)
+            # Hot-slot width: 64 by default, NOT DENSE_TFIDF_MAX_VOCAB.
+            # Measured at skew-1x (2.77M pairs, forced sparse, local[32],
+            # min-of-3 q_score): H=64 -> 17.5s, H=128 -> 44.1s, H=256 ->
+            # 66.7s vs 14.4s without the split — the per-pair projection
+            # leaves effective codegen between 64 and 128 mult-add slots
+            # and the interpreted wide dot then dominates (the round-3
+            # law). Zipf-style df distributions concentrate df² mass in the
+            # first few dozen ranks, so 64 slots keep ~all of the split's
+            # benefit. Overridable for re-measurement.
+            H = min(int(os.environ.get("SPARK_GRAFT_TFIDF_HOT_VOCAB", "64")), vocab)
             ranked = dense_rank_ids(
                 df_table.select("token", "df").withColumn(
                     "_negdf", -F.col("df")
@@ -340,11 +349,10 @@ def score_pairs_slim(
             v_tail = vectors
         v1 = v_tail.select(F.col("conv_id").alias("id1"), "token", F.col("w").alias("w1"))
         v2 = v_tail.select(F.col("conv_id").alias("id2"), "token", F.col("w").alias("w2"))
-        dots_tail = (
+        tail_products = (
             pairs.join(v1, "id1")
             .join(v2, ["id2", "token"])
-            .groupBy("id1", "id2")
-            .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+            .select("id1", "id2", (F.col("w1") * F.col("w2")).alias("dot"))
         )
         if hot_split:
             tf_hot = (
@@ -376,23 +384,35 @@ def score_pairs_slim(
             )
             hv1 = hv.select(F.col("conv_id").alias("id1"), F.col("hv").alias("_hv1"))
             hv2 = hv.select(F.col("conv_id").alias("id2"), F.col("hv").alias("_hv2"))
-            # docs without hot tokens have no hv row; docs without shared
-            # tail tokens have no dots_tail row — both coalesce to 0.0
-            dots = (
-                pairs.join(dots_tail, ["id1", "id2"], "left")
-                .join(hv1, "id1", "left")
+            # one hot-dot row per pair, computed by two BROADCAST joins +
+            # the static dot in the same pipelined stage (docs without hot
+            # tokens coalesce to 0.0), then UNIONED into the same pair-level
+            # groupBy that sums the tail products — the total stays a SINGLE
+            # pair-cardinality shuffle with map-side combine. (The first r6
+            # cut of this split instead left-joined `pairs` against the
+            # aggregated tail dots — a pair x pair sort-merge join that cost
+            # two extra full-pair-stream exchanges; caught by the skew
+            # re-measurement, q_score 1x 23.5 -> 55.9s, and removed.)
+            hot_rows = (
+                pairs.join(hv1, "id1", "left")
                 .join(hv2, "id2", "left")
                 .select(
                     "id1",
                     "id2",
-                    (
-                        F.coalesce(V.static_dot("_hv1", "_hv2", H), F.lit(0.0))
-                        + F.coalesce(F.col("dot"), F.lit(0.0))
+                    F.coalesce(
+                        V.static_dot("_hv1", "_hv2", H), F.lit(0.0)
                     ).alias("dot"),
                 )
             )
+            dots = (
+                tail_products.unionByName(hot_rows)
+                .groupBy("id1", "id2")
+                .agg(F.sum("dot").alias("dot"))
+            )
         else:
-            dots = dots_tail
+            dots = tail_products.groupBy("id1", "id2").agg(
+                F.sum("dot").alias("dot")
+            )
         n1 = F.broadcast(norms.select(F.col("conv_id").alias("id1"), F.col("norm").alias("n1")))
         n2 = F.broadcast(norms.select(F.col("conv_id").alias("id2"), F.col("norm").alias("n2")))
         cos = (

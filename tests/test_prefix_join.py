@@ -95,3 +95,27 @@ def test_prefix_join_bitset_matches_groupby_plan(spark):
             ).collect()
         )
         assert fast == slow and len(fast) > 0, f"threshold {t}"
+
+
+def test_prefix_join_bitset_multiword_vocab(spark):
+    """Vocabulary spanning >64 dense ids exercises the multi-word masks and
+    the bit-63 low-mask edge (shiftleft(1,63)-1 overflows under ANSI —
+    regression for the r6 emit-once plan). Compare against the forced
+    groupBy plan on the same input."""
+    rows = []
+    # 90-token vocabulary; overlapping windows give pairs across word 0/1
+    toks = [f"tok{i:03d}" for i in range(90)]
+    for d in range(25):
+        rows.append((d, " ".join(toks[d * 2 : d * 2 + 40])))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fast = sorted(
+        (r["id1"], r["id2"], r["inter"], r["union"], r["jaccard"])
+        for r in prefix_jaccard_join(docs, threshold_num=500_000).collect()
+    )
+    slow = sorted(
+        (r["id1"], r["id2"], r["inter"], r["union"], r["jaccard"])
+        for r in prefix_jaccard_join(
+            docs, threshold_num=500_000, bitset_max_words=0
+        ).collect()
+    )
+    assert fast == slow and len(fast) > 0
