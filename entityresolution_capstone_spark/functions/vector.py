@@ -33,11 +33,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-# Practical whole-stage-codegen ceiling for one unrolled dot product.
-# 256 dims ≈ 512 multiply-add nodes: comfortably inside Spark's expression
-# splitting (spark.sql.codegen.methodSplitThreshold default 1024) and far
-# from the 64 KB JVM method limit. Wider vectors must take the Arrow path.
+# Hard ceiling for one unrolled static dot (the expression still PLANS and
+# evaluates correctly up to here). Wider vectors must take the Arrow path.
 MAX_STATIC_DIM = 256
+
+# Measured ceiling at which the static unroll still runs FAST (r6,
+# BENCH/CROSSOVER_PLANSHAPE.json: on the bucketed SMJ pair stream, static
+# beats Arrow at dim 64 — 4.25 vs 5.87 s on a ~4M-pair stream — but by
+# dim 128 the generated projection no longer compiles into effective
+# whole-stage codegen and runs interpreted: 29.1 vs 8.5 s. The same cliff
+# appears in the hot/cold TF-IDF split between 64 and 128 mult-add slots).
+# kernel="auto" dispatch uses THIS bound; explicit kernel="static" callers
+# may still go up to MAX_STATIC_DIM (correct, just slow past the cliff).
+AUTO_STATIC_MAX_DIM = 64
 
 
 _HUGE_JIT_CACHE: dict[str, bool] = {}

@@ -793,11 +793,14 @@ def embedding_cosine_duplicates(
     are bit-identical to each other and to DuckDB ``list_dot_product``
     (verified mismatch-free over a 2.44M-pair stream):
 
-    - ``kernel="auto"`` (default): static codegen at dim ≤ MAX_STATIC_DIM,
-      Arrow ordered-fold above. Post-JIT-flag crossover (r5, 3.8M bucketed
-      pairs, local[32]): static 3.91s vs arrow 5.67s at dim 64 — the r4
-      numbers that favored arrow were measured with the static method
-      running interpreted (docs/SCALE.md round-5).
+    - ``kernel="auto"`` (default): static codegen at dim ≤
+      AUTO_STATIC_MAX_DIM (64), Arrow ordered-fold above. Crossover per
+      plan shape and dim measured in BENCH/CROSSOVER_PLANSHAPE.json (r6):
+      on the bucketed SMJ stream static wins at dim 64 (4.25 vs 5.87 s)
+      but falls off the codegen cliff by dim 128 (29.1 vs 8.5 s
+      interpreted); the r5 crossover (static 3.91 vs arrow 5.67 s) was
+      dim-64 only and the r4 numbers that favored arrow were measured
+      with the static method running interpreted (docs/SCALE.md round-5).
     - ``kernel="arrow"``: one Arrow-batched NumPy cosine per pair
       (functions/vector.pandas_cosine); dim-unbounded.
     - ``kernel="static"``: per-pair dot + per-doc norm as STATIC codegen
@@ -828,7 +831,7 @@ def embedding_cosine_duplicates(
         # dim-unbounded Arrow ordered fold. All kernels are bit-identical.
         kernel = (
             "static"
-            if dim <= V.MAX_STATIC_DIM
+            if dim <= V.AUTO_STATIC_MAX_DIM
             and V.huge_methods_jit_enabled(embeddings.sparkSession)
             else "arrow"
         )

@@ -69,18 +69,20 @@ def _cosine(v1, v2, n1, n2, dim: int, kernel: str = "auto"):
     """Per-pair cosine with zero-norm guard (degenerate vectors score 0.0).
 
     ``kernel="auto"`` (default): the static whole-stage-codegen composition
-    at dim ≤ MAX_STATIC_DIM, the Arrow ordered-fold above it. The two are
-    bit-identical (ordered left-fold; verified in tests); post-JIT-flag the
-    static form is the faster one where it fits (r5 crossover: 3.91 s vs
-    5.67 s on a 3.8M-pair bucketed stream at dim 64, local[32] — the r4
-    numbers that favored arrow were measured with the static method running
-    in the HotSpot bytecode interpreter, docs/SCALE.md round-5).
-    ``kernel="arrow"`` forces the Arrow UDF (the precomputed ``n1``/``n2``
-    columns then go unreferenced and Catalyst prunes the norm computation
-    upstream); ``kernel="static"`` forces the all-JVM plan and refuses wide
-    dims."""
+    at dim ≤ AUTO_STATIC_MAX_DIM (64), the Arrow ordered-fold above it. The
+    two are bit-identical (ordered left-fold; verified in tests). The
+    boundary is MEASURED per plan shape and dim
+    (BENCH/CROSSOVER_PLANSHAPE.json, r6): under codegen-capable joins
+    static wins at dim 64 (SMJ 4.25 vs 5.87 s) but the generated
+    projection falls out of effective codegen by dim 128 (29.1 vs 8.5 s,
+    interpreted); callers whose plan is a BNLJ (brute_force_topk) must
+    force Arrow regardless — see there. ``kernel="arrow"`` forces the
+    Arrow UDF (the precomputed ``n1``/``n2`` columns then go unreferenced
+    and Catalyst prunes the norm computation upstream);
+    ``kernel="static"`` forces the all-JVM plan (correct up to
+    MAX_STATIC_DIM, fast only to the auto bound) and refuses wide dims."""
     if kernel == "auto":
-        kernel = "static" if dim <= V.MAX_STATIC_DIM else "arrow"
+        kernel = "static" if dim <= V.AUTO_STATIC_MAX_DIM else "arrow"
     if kernel == "arrow":
         return V.pandas_cosine_guarded(v1, v2)
     dot = V.static_dot(v1, v2, dim)
